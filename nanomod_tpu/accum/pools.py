@@ -1,0 +1,159 @@
+"""Genome-position signal pools: dense, position-major accumulators.
+
+The reference accumulates per-position Python lists in nested dicts —
+``moptions[group]['norm_mean'][(chrom,strand)][pos].append(mean)``
+(ref bin/scripts/myDetect.py:122-124) — then filters by coverage
+(``mfilter_coverage``, :301-314) and joins the two groups on shared
+positions (``mtest2``, :427-436).
+
+Here each (chrom, strand) gets a dense pool built in one vectorized pass:
+
+    positions [P] int64   sorted unique genomic coordinates
+    values    [P, C] f32  per-position signal reservoir (C = max coverage)
+    counts    [P] int32   valid prefix per row
+    base      [P] 'U1'    majority reference base at the position
+
+The dense [P, C] layout is what the TPU statistical kernels consume directly
+and what gets sharded by genomic coordinate across a device mesh.
+
+Divergence note: the reference's per-position 'base' is last-writer-wins in
+file-listing order (myDetect.py:122, os.listdir order); we use a
+deterministic majority vote.  Reads disagreeing on the base produce the same
+kind of warning the reference prints (myDetect.py:432-434).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+_BASE_TO_CODE = np.full(256, 4, dtype=np.int8)
+for _i, _b in enumerate(b"ACGT"):
+    _BASE_TO_CODE[_b] = _i
+    _BASE_TO_CODE[_b + 32] = _i  # lowercase
+_CODE_TO_BASE = np.array(list("ACGTN"))
+
+
+@dataclass
+class PositionPools:
+    """Dense per-(chrom,strand) pool."""
+
+    chrom: str
+    strand: str
+    positions: np.ndarray  # [P] int64
+    values: np.ndarray     # [P, C] float32
+    counts: np.ndarray     # [P] int32
+    base: np.ndarray       # [P] '<U1'
+
+    @property
+    def num_positions(self) -> int:
+        return len(self.positions)
+
+    @property
+    def capacity(self) -> int:
+        return self.values.shape[1]
+
+    def filter_min_coverage(self, min_coverage: int) -> "PositionPools":
+        """mfilter_coverage (ref myDetect.py:301-314): drop positions with
+        fewer than min_coverage observations."""
+        keep = self.counts >= min_coverage
+        return PositionPools(
+            chrom=self.chrom,
+            strand=self.strand,
+            positions=self.positions[keep],
+            values=self.values[keep],
+            counts=self.counts[keep],
+            base=self.base[keep],
+        )
+
+
+class PoolBuilder:
+    """Streaming accumulator: feed per-read event vectors, finalize to pools.
+
+    ``add_read`` matches the genomic-coordinate mapping of mReadSignalBase
+    (ref myDetect.py:104-124): '+' strand events i -> start + i; '-' strand
+    events i -> start + n - 1 - i.
+    """
+
+    def __init__(self):
+        # (chrom, strand) -> list of (positions int64[], means f32[], bases int8[])
+        self._chunks: Dict[Tuple[str, str], List] = defaultdict(list)
+
+    def add_read(self, chrom: str, strand: str, start: int,
+                 norm_means: np.ndarray, bases: np.ndarray,
+                 pos_filter: Tuple[int, int] | None = None):
+        """bases: byte/char array (S1/U1) aligned with norm_means."""
+        n = len(norm_means)
+        if strand == "+":
+            pos = start + np.arange(n, dtype=np.int64)
+        else:
+            pos = start + n - 1 - np.arange(n, dtype=np.int64)
+        means = np.asarray(norm_means, dtype=np.float32)
+        if bases.dtype.kind in "SU":
+            codes = _BASE_TO_CODE[
+                np.frombuffer(bases.astype("S1").tobytes(), dtype=np.uint8)
+            ]
+        else:
+            codes = np.asarray(bases, dtype=np.int8)
+        if pos_filter is not None:
+            lo, hi = pos_filter
+            keep = (pos >= lo) & (pos <= hi)
+            if not keep.all():
+                pos, means, codes = pos[keep], means[keep], codes[keep]
+        if len(pos):
+            self._chunks[(chrom, strand)].append((pos, means, codes))
+
+    def finalize(self) -> Dict[Tuple[str, str], PositionPools]:
+        out = {}
+        for (chrom, strand), chunks in sorted(self._chunks.items()):
+            pos = np.concatenate([c[0] for c in chunks])
+            val = np.concatenate([c[1] for c in chunks])
+            cod = np.concatenate([c[2] for c in chunks])
+
+            # one vectorized pass: group by position via sort, then slot each
+            # observation at (rank within its position group)
+            order = np.argsort(pos, kind="stable")
+            pos_s, val_s, cod_s = pos[order], val[order], cod[order]
+            uniq, first_idx, counts = np.unique(
+                pos_s, return_index=True, return_counts=True
+            )
+            p_total = len(uniq)
+            cap = int(counts.max())
+            row = np.repeat(np.arange(p_total), counts)
+            slot = np.arange(len(pos_s)) - np.repeat(first_idx, counts)
+
+            values = np.zeros((p_total, cap), dtype=np.float32)
+            values[row, slot] = val_s
+            # majority base per position
+            base_votes = np.zeros((p_total, 5), dtype=np.int32)
+            np.add.at(base_votes, (row, cod_s.astype(np.int64)), 1)
+            base = _CODE_TO_BASE[np.argmax(base_votes, axis=1)]
+
+            out[(chrom, strand)] = PositionPools(
+                chrom=chrom,
+                strand=strand,
+                positions=uniq,
+                values=values,
+                counts=counts.astype(np.int32),
+                base=base,
+            )
+        return out
+
+
+def join_pools(pools1: Dict, pools2: Dict):
+    """Intersect the two groups on shared (chrom, strand, position).
+
+    Yields per (chrom, strand): (positions, idx1, idx2) index arrays into
+    each group's pool rows, sorted by (chrom, strand, pos) — the reference's
+    iteration order over its sorted dict keys (ref myDetect.py:427-431).
+    """
+    for key in sorted(set(pools1) & set(pools2)):
+        g1, g2 = pools1[key], pools2[key]
+        common, i1, i2 = np.intersect1d(
+            g1.positions, g2.positions, assume_unique=True, return_indices=True
+        )
+        if len(common):
+            yield key, common, i1, i2

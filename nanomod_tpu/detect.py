@@ -1,0 +1,208 @@
+"""End-to-end two-group modification detection.
+
+TPU-native rebuild of ``NanoMod.py detect`` (ref bin/scripts/myDetect.py:635
+``mDetect``): ingest corrected FAST5 events for both groups into dense
+position pools, filter coverage, run the vectorized test battery per
+(chrom, strand), combine neighbor p-values, save the reference-format
+results table, and rank sites.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from nanomod_tpu.accum.pools import PoolBuilder, PositionPools, join_pools
+from nanomod_tpu.config import DetectConfig, OUTPUT_INFO
+from nanomod_tpu.io.fast5 import iter_fast5_files, read_corrected_events
+from nanomod_tpu.rank.ranking import SignTable, region_rank, sort_sites, top_sites
+from nanomod_tpu.stats.battery import TestResult, run_battery
+from nanomod_tpu.stats.combine import combine_neighbor_pvalues
+
+
+def _read_passes_filters(rd, cfg: DetectConfig,
+                         start_end: Optional[Tuple[int, int]]) -> bool:
+    """Replicates mReadSignalBase's read-level filters
+    (ref myDetect.py:74-102)."""
+    n = len(rd.norm_mean)
+    if cfg.chrom is not None and rd.chrom != cfg.chrom:
+        return False
+    if cfg.pos is not None and cfg.pos2 is not None:
+        if rd.start > cfg.pos2 or rd.start + n < cfg.pos:
+            return False
+    if start_end is not None:
+        if rd.start > start_end[0] or rd.start + n < start_end[1]:
+            return False
+    if cfg.min_lr_nb < 1:
+        if n < cfg.min_lr:
+            return False
+    else:
+        lo = cfg.min_lr - cfg.min_lr_nb
+        hi = cfg.min_lr + cfg.min_lr_nb
+        if not (lo < n < hi):
+            return False
+        # amplicon start/end band check (ref myDetect.py:98-102)
+        def in_band(x):
+            nb = cfg.min_lr_nb
+            return (x < nb) or (8000 - nb < x < 8000 + nb) or (16000 - nb < x < 16000 + nb)
+        if not (in_band(rd.start) and in_band(rd.start + n)):
+            return False
+    return True
+
+
+def ingest_group(folder: str, cfg: DetectConfig) -> Dict[Tuple[str, str], PositionPools]:
+    """Walk a group folder, read corrected events, build position pools.
+
+    Mirrors ReadAllFast5/readsubfolder/mReadSignalBase
+    (ref myDetect.py:33-127,547-633) with a thread pool for the HDF5 reads.
+    """
+    start_end = None
+    pos_filter = None
+    if cfg.pos is not None and cfg.pos2 is None:
+        lo = max(cfg.pos - cfg.rank.window, 0)
+        hi = cfg.pos + cfg.rank.window
+        start_end = (lo, hi)           # read must span the window
+        pos_filter = (lo, hi)          # events outside are dropped
+    elif cfg.pos is not None and cfg.pos2 is not None:
+        pos_filter = None              # Pos2 mode filters reads only
+
+    builder = PoolBuilder()
+    files = list(iter_fast5_files(folder))
+
+    def load(path):
+        return read_corrected_events(path)
+
+    with ThreadPoolExecutor(max_workers=cfg.num_workers) as ex:
+        for rd in ex.map(load, files):
+            if rd is None:
+                continue
+            if not _read_passes_filters(rd, cfg, start_end):
+                continue
+            builder.add_read(rd.chrom, rd.strand, rd.start,
+                             rd.norm_mean, rd.base, pos_filter=pos_filter)
+    if cfg.out_level <= OUTPUT_INFO:
+        print(f"Number of files in {folder} is {len(files)}")
+    return builder.finalize()
+
+
+def detect_from_pools(
+    pools1: Dict, pools2: Dict, cfg: DetectConfig
+) -> Tuple[SignTable, np.ndarray]:
+    """Coverage-filter, test, combine and rank two groups of pools.
+
+    Returns (table, order): `table` row order is (chrom, strand, pos) — the
+    reference's sign_test order — and `order` are table indices by rank.
+    """
+    pools1 = {k: v.filter_min_coverage(cfg.min_coverage) for k, v in pools1.items()}
+    pools2 = {k: v.filter_min_coverage(cfg.min_coverage) for k, v in pools2.items()}
+    pools1 = {k: v for k, v in pools1.items() if v.num_positions}
+    pools2 = {k: v for k, v in pools2.items() if v.num_positions}
+
+    keys = []
+    parts = []
+    for key, common, i1, i2 in join_pools(pools1, pools2):
+        g1, g2 = pools1[key], pools2[key]
+        # base disagreement warning (ref myDetect.py:432-434)
+        bad = g1.base[i1] != g2.base[i2]
+        if bad.any() and cfg.out_level <= OUTPUT_INFO:
+            print(f"Warning: {bad.sum()} base mismatches between groups at {key}")
+        res = run_battery(
+            g1.values[i1], g1.counts[i1], g2.values[i2], g2.counts[i2],
+            strand=key[1], cfg=cfg.stats, tile_positions=cfg.tile_positions,
+            want_mstd=cfg.mstd,
+        )
+        keys.append(key)
+        parts.append((key, common, g2.base[i2], g1.counts[i1], g2.counts[i2], res))
+
+    if not parts:
+        empty = TestResult(*(np.empty(0) for _ in range(6)))
+        table = SignTable([], np.empty(0, np.int64), np.empty(0, np.int64),
+                          np.empty(0, "<U1"), np.empty(0, np.int32),
+                          np.empty(0, np.int32), empty)
+        return table, np.empty(0, np.int64)
+
+    group_ids = np.concatenate(
+        [np.full(len(p[1]), gi, dtype=np.int64) for gi, p in enumerate(parts)]
+    )
+    positions = np.concatenate([p[1] for p in parts])
+    base = np.concatenate([p[2] for p in parts]).astype("<U1")
+    cov1 = np.concatenate([p[3] for p in parts]).astype(np.int32)
+    cov2 = np.concatenate([p[4] for p in parts]).astype(np.int32)
+
+    def cat(attr):
+        return np.concatenate([getattr(p[5], attr) for p in parts])
+
+    res = TestResult(
+        stu=cat("stu"), pu=cat("pu"), stt=cat("stt"), pt=cat("pt"),
+        stks=cat("stks"), pks=cat("pks"),
+        mstd=(np.concatenate([p[5].mstd for p in parts]) if cfg.mstd else None),
+    )
+
+    # neighbor combination (ref myDetect.py:443: skipped for testMethod 'ks')
+    if cfg.stats.test_method != "ks":
+        if cfg.stats.neighbor_pvalues == 0:
+            # ref myDetect.py:413: the KS tuple is reused as the 4th column
+            res.stcomb, res.pcomb = res.stks.copy(), res.pks.copy()
+        else:
+            res.stcomb, res.pcomb = combine_neighbor_pvalues(
+                group_ids, positions, res.pks, cfg.stats
+            )
+
+    table = SignTable(keys=[p[0] for p in parts], group_ids=group_ids,
+                      positions=positions, base=base, cov1=cov1, cov2=cov2,
+                      res=res)
+
+    if cfg.rank.region_rank_by_st:
+        order = region_rank(table, cfg.stats, cfg.rank)
+    else:
+        order = sort_sites(table, cfg.stats, cfg.rank)
+    return table, order
+
+
+def save_sign_test(table: SignTable, cfg: DetectConfig) -> str:
+    """Write <outFolder>/<FileID>_sign_test.txt in the reference's exact
+    format (ref myDetect.py:522-545): chrom strand pos1 base cov1 cov2
+    stU pU stT pT stKS pKS [stComb pComb], positions 1-based."""
+    os.makedirs(cfg.out_folder, exist_ok=True)
+    path = os.path.join(cfg.out_folder, f"{cfg.file_id}_sign_test.txt")
+    r = table.res
+    has_comb = (cfg.stats.neighbor_pvalues > 0 and cfg.stats.test_method != "ks")
+    with open(path, "w") as f:
+        for i in range(len(table)):
+            chrom, strand = table.chrom_strand(i)
+            line = "%s %s %d %s %d %d %.3f %.3E %.3f %.3E %.3f %.3E" % (
+                chrom, strand, table.positions[i] + 1, table.base[i],
+                table.cov1[i], table.cov2[i],
+                r.stu[i], r.pu[i], r.stt[i], r.pt[i], r.stks[i], r.pks[i],
+            )
+            if has_comb:
+                line += " %.3f %.3E" % (r.stcomb[i], r.pcomb[i])
+            f.write(line + "\n")
+
+    if cfg.mstd and r.mstd is not None:
+        mpath = os.path.join(cfg.out_folder, f"{cfg.file_id}_meanstd.cvs")
+        with open(mpath, "w") as f:
+            for i in range(len(table)):
+                chrom, strand = table.chrom_strand(i)
+                f.write("%s %s %d %s %.3f %.3f %.3f %.3f\n" % (
+                    chrom, strand, table.positions[i], table.base[i],
+                    r.mstd[i, 0], r.mstd[i, 1], r.mstd[i, 2], r.mstd[i, 3],
+                ))
+    return path
+
+
+def run_detect(cfg: DetectConfig):
+    """Full detect pipeline (ref myDetect.py:635-643)."""
+    pools1 = ingest_group(cfg.wrk_base1, cfg)
+    pools2 = ingest_group(cfg.wrk_base2, cfg)
+    table, order = detect_from_pools(pools1, pools2, cfg)
+    if cfg.save_test:
+        save_sign_test(table, cfg)
+    sites = top_sites(table, order, cfg.stats, cfg.rank, top_n=cfg.rank.top_n)
+    if cfg.make_plots:
+        from nanomod_tpu.harness.plots import plot_top_sites
+        plot_top_sites(table, sites, pools1, pools2, cfg)
+    return table, order, sites

@@ -1,0 +1,195 @@
+"""Site ranking, dedup, and region-window ranking.
+
+Replicates mtest2's ranking tail (ref bin/scripts/myDetect.py:447-520), the
+top-N dedup walk of mboxplot (ref :279-297) and the window-completeness
+check used by the sim harness's getTopRank (ref mySimulate.py:287-328).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from nanomod_tpu.config import RankConfig, StatConfig
+from nanomod_tpu.stats.battery import TestResult
+
+
+@dataclass
+class SignTable:
+    """The joined, tested position table — the reference's ``sign_test``
+    list as dense arrays, ordered by (chrom, strand, pos) exactly like the
+    reference's sorted-key iteration (ref myDetect.py:427-431)."""
+
+    keys: List[Tuple[str, str]]      # per-group (chrom, strand), sorted
+    group_ids: np.ndarray            # [P] index into keys
+    positions: np.ndarray            # [P] int64 0-based genomic positions
+    base: np.ndarray                 # [P] '<U1'
+    cov1: np.ndarray                 # [P] int32
+    cov2: np.ndarray                 # [P] int32
+    res: TestResult = None
+
+    def __len__(self):
+        return len(self.positions)
+
+    def chrom_strand(self, i: int) -> Tuple[str, str]:
+        return self.keys[self.group_ids[i]]
+
+    def columns(self, cfg: StatConfig):
+        """(sorted_col_stat, sorted_col_p) used for ranking: the combined
+        column when present, else the KS column (ref myDetect.py:452-454)."""
+        if cfg.test_method != "ks" and self.res.pcomb is not None:
+            return self.res.stcomb, self.res.pcomb
+        return self.res.stks, self.res.pks
+
+
+def sort_sites(table: SignTable, stat_cfg: StatConfig, rank_cfg: RankConfig) -> np.ndarray:
+    """Order of sites by significance (indices into the table).
+
+    Mirrors myDetect.py:459-462: stable sort by (rank_col, ks, u) on p-values
+    ('pv') or statistics ('st', then reversed).
+    """
+    st_col, p_col = table.columns(stat_cfg)
+    if rank_cfg.rank_use == "pv":
+        prim, sec, ter = p_col, table.res.pks, table.res.pu
+    else:
+        prim, sec, ter = st_col, table.res.stks, table.res.stu
+    order = np.lexsort((ter, sec, prim))  # stable: last key is primary
+    if rank_cfg.rank_use == "st":
+        order = order[::-1]
+    return order
+
+
+def _close_size(stat_cfg: StatConfig, rank_cfg: RankConfig) -> int:
+    """Dedup radius (ref myDetect.py:279-283)."""
+    if rank_cfg.region_rank_by_st:
+        return max(rank_cfg.window, 1)
+    return stat_cfg.neighbor_pvalues * 2
+
+
+def _window_complete(table: SignTable, idx: int, window: int) -> bool:
+    """pos_check over the ±window index neighborhood (ref
+    mySimulate.py:315-318): every neighbor index must exist, share
+    (chrom,strand) and be genomically contiguous."""
+    n = len(table)
+    gid = table.group_ids
+    pos = table.positions
+    for j in range(idx - window, idx + window + 1):
+        if j < 0 or j >= n:
+            return False
+        if j == idx:
+            continue
+        if gid[j] != gid[idx] or (idx - j) != (pos[idx] - pos[j]):
+            return False
+    return True
+
+
+@dataclass
+class RankedSite:
+    rank: int                        # 1-based output rank
+    chrom: str
+    strand: str
+    pos: int                         # 0-based
+    base: str
+    table_index: int
+
+
+def top_sites(
+    table: SignTable,
+    order: np.ndarray,
+    stat_cfg: StatConfig,
+    rank_cfg: RankConfig,
+    top_n: Optional[int] = None,
+    require_complete_window: bool = False,
+    stop_at: Optional[Tuple[str, str, int, int]] = None,
+) -> List[RankedSite]:
+    """Walk the sorted site list applying min-distance dedup.
+
+    Mirrors the mboxplot loop (ref myDetect.py:284-297) and, with
+    require_complete_window, getTopRank (ref mySimulate.py:300-327).
+    stop_at=(chrom,strand,pos,closesize) stops once a site within closesize
+    of the target is emitted (getTopRank's early exit, mySimulate.py:327).
+    """
+    closesize = _close_size(stat_cfg, rank_cfg)
+    out: List[RankedSite] = []
+    for oi in order:
+        chrom, strand = table.chrom_strand(oi)
+        pos = int(table.positions[oi])
+        too_close = any(
+            s.chrom == chrom and s.strand == strand and abs(s.pos - pos) < closesize
+            for s in out
+        )
+        if too_close:
+            continue
+        if require_complete_window and not _window_complete(table, oi, rank_cfg.window):
+            continue
+        out.append(RankedSite(len(out) + 1, chrom, strand, pos,
+                              str(table.base[oi]), int(oi)))
+        if stop_at is not None:
+            tchrom, tstrand, tpos, tclose = stop_at
+            if chrom == tchrom and strand == tstrand and abs(pos - tpos) < tclose:
+                break
+        if top_n is not None and len(out) >= top_n:
+            break
+    return out
+
+
+def region_rank(table: SignTable, stat_cfg: StatConfig, rank_cfg: RankConfig):
+    """Region-window ranking mode (RegionRankbyST=1, ref myDetect.py:463-516).
+
+    Fixed windows of full width 2*(window+1)+1 slide by window+1 (or 1 when
+    overlapping); each window is ranked by the percentile-th smallest p in
+    it, tie-broken by the center-distance of the window minimum.  Returns
+    indices into the table for the (possibly dedup'd) windows in rank order.
+    """
+    w = rank_cfg.window + 1                       # ref :465 window += 1
+    windlist = range(-w, w + 1)
+    movesize = 1 if rank_cfg.wind_ovlp else w
+
+    st_col, p_col = table.columns(stat_cfg)
+    use_p = rank_cfg.rank_use == "pv"
+    vals = p_col if use_p else st_col
+
+    # per (chrom,strand): position -> table index
+    windseg = []
+    gid = table.group_ids
+    pos = table.positions
+    for g in range(len(table.keys)):
+        sel = np.where(gid == g)[0]
+        if len(sel) == 0:
+            continue
+        pmin, pmax = int(pos[sel].min()), int(pos[sel].max())
+        lookup = dict(zip(pos[sel].tolist(), sel.tolist()))
+        for pk in range(pmin, pmax, movesize):
+            pvlist = []
+            complete = True
+            for wind in windlist:
+                cp = pk + wind
+                if cp < 0 or cp >= pmax or cp not in lookup:
+                    complete = False
+                    break
+                ti = lookup[cp]
+                if rank_cfg.na and str(table.base[ti]) != rank_cfg.na:
+                    continue
+                pvlist.append(float(vals[ti]))
+            if not complete or len(pvlist) <= 5 or pk not in lookup:
+                continue
+            opv = list(pvlist)
+            spv = sorted(pvlist)
+            q = spv[int(rank_cfg.percentile * (len(spv) - 1) + 0.5)]
+            tie = abs(w - opv.index(spv[0]))
+            windseg.append((q, tie, lookup[pk], g, pk))
+
+    windseg.sort(key=lambda x: (x[0], x[1]))
+    ordered = []
+    if rank_cfg.wind_ovlp:
+        kept = []
+        for q, tie, ti, g, pk in windseg:
+            if any(kg == g and abs(kpk - pk) < w for kg, kpk in kept):
+                continue
+            kept.append((g, pk))
+            ordered.append(ti)
+    else:
+        ordered = [ti for _, _, ti, _, _ in windseg]
+    return np.asarray(ordered, dtype=np.int64)
