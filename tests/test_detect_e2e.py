@@ -1,0 +1,113 @@
+"""End-to-end detect: synthetic corrected FAST5 groups -> ranked sites.
+
+Mirrors the reference's validation strategy: a known modified site must rank
+first (ref mySimulate.py getTopRank semantics)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import make_genome, make_corrected_dataset
+from nanomod_tpu.config import DetectConfig, StatConfig, RankConfig, replace
+from nanomod_tpu.detect import run_detect, ingest_group, detect_from_pools, save_sign_test
+
+MOD_POS = 173          # 0-based
+MOD_STRAND_DELTA = 1.0
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    chrom, genome = make_genome(length=400, seed=7)
+    ctrl = os.path.join(root, "control")
+    case = os.path.join(root, "case")
+    make_corrected_dataset(ctrl, chrom, genome, n_reads=24, seed=1)
+    make_corrected_dataset(case, chrom, genome, n_reads=24, seed=2,
+                           mod_pos=MOD_POS, mod_delta=MOD_STRAND_DELTA)
+    return root, chrom, genome, ctrl, case
+
+
+def _cfg(root, ctrl, case, **kw):
+    cfg = DetectConfig(
+        wrk_base1=ctrl, wrk_base2=case,
+        out_folder=os.path.join(root, "out"),
+        min_lr=0,
+        rank=RankConfig(window=4),
+    )
+    return replace(cfg, **kw) if kw else cfg
+
+
+def test_detect_finds_planted_site(dataset):
+    root, chrom, genome, ctrl, case = dataset
+    table, order, sites = run_detect(_cfg(root, ctrl, case))
+    # both strands carry the shift; the top site must be at MOD_POS (either strand)
+    assert sites[0].pos == MOD_POS
+    assert sites[0].chrom == chrom
+
+    # output table format: reference's 12(+2)-column text
+    out = os.path.join(root, "out", "mod_sign_test.txt")
+    with open(out) as f:
+        lines = f.read().strip().split("\n")
+    assert len(lines) == len(table)
+    cols = lines[0].split()
+    assert len(cols) == 14          # stouffer default adds comb columns
+    assert cols[0] == chrom and cols[1] in "+-"
+    int(cols[2]); int(cols[4]); int(cols[5])
+    float(cols[7]); float(cols[13])
+
+    # positions are 1-based in the file
+    first_pos = int(lines[0].split()[2])
+    assert first_pos == table.positions[0] + 1
+
+
+def test_detect_ks_method_no_comb_column(dataset):
+    root, chrom, genome, ctrl, case = dataset
+    cfg = _cfg(root, ctrl, case, **{"stats.test_method": "ks", "file_id": "ksrun"})
+    table, order, sites = run_detect(cfg)
+    out = os.path.join(root, "out", "ksrun_sign_test.txt")
+    with open(out) as f:
+        assert len(f.readline().split()) == 12
+    assert sites[0].pos == MOD_POS
+
+
+def test_detect_min_coverage_filters(dataset):
+    root, chrom, genome, ctrl, case = dataset
+    pools1 = ingest_group(ctrl, _cfg(root, ctrl, case))
+    pools2 = ingest_group(case, _cfg(root, ctrl, case))
+    # with absurd coverage requirement everything is filtered
+    cfg = _cfg(root, ctrl, case, min_coverage=1000)
+    table, order = detect_from_pools(pools1, pools2, cfg)
+    assert len(table) == 0 and len(order) == 0
+
+
+def test_detect_chrom_filter(dataset):
+    root, chrom, genome, ctrl, case = dataset
+    cfg = _cfg(root, ctrl, case, chrom="nonexistent")
+    pools = ingest_group(ctrl, cfg)
+    assert pools == {}
+
+
+def test_pos_window_filter(dataset):
+    root, chrom, genome, ctrl, case = dataset
+    cfg = _cfg(root, ctrl, case, chrom=chrom, pos=MOD_POS)
+    pools1 = ingest_group(ctrl, cfg)
+    pools2 = ingest_group(case, cfg)
+    table, order = detect_from_pools(pools1, pools2, cfg)
+    # only the ±window neighborhood is accumulated
+    w = cfg.rank.window
+    assert np.all((table.positions >= MOD_POS - w) & (table.positions <= MOD_POS + w))
+
+
+def test_mstd_output(dataset, tmp_path):
+    root, chrom, genome, ctrl, case = dataset
+    cfg = _cfg(root, ctrl, case, mstd=True, file_id="withmstd",
+               out_folder=str(tmp_path))
+    table, order, sites = run_detect(cfg)
+    save_sign_test(table, cfg)
+    mpath = os.path.join(str(tmp_path), "withmstd_meanstd.cvs")
+    with open(mpath) as f:
+        line = f.readline().split()
+    assert len(line) == 8
+    # mean/std columns are plausible normalized-signal values
+    assert abs(float(line[4])) < 5
