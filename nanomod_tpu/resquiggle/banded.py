@@ -1,0 +1,186 @@
+"""Batched banded affine-gap local alignment (Smith-Waterman) in JAX.
+
+Replaces the reference's ``bwa mem -x ont2d`` / ``minimap2 -ax map-ont``
+subprocess (ref bin/scripts/myRefBaseSignalAnnotation.py:406-417): reads are
+aligned to a known reference around a seed diagonal (resquiggle/seed.py), so
+a fixed-width band suffices.
+
+Formulation (TPU-friendly: scan over read rows, vector ops over the band):
+
+    band coordinate k ∈ [0, W): cell (i, k) is read base i vs reference
+    window position i + k (the window is extracted so the seed diagonal sits
+    at k = W/2)
+
+    H[i,k] = max(0, Hprev[k] + sub(i, i+k), E[i,k], F[i,k])   local
+    F[i,k] = max(Hprev[k+1] + go, Fprev[k+1] + ge)            read-gap (ins)
+    E[i,k] = max_{l<k} Hnoe[i,l] + go + ge*(k-l-1)            ref-gap (del)
+
+The intra-row E recurrence is solved in closed form with a shifted running
+max (max-plus linear recurrence):  E[k] = ge*k + go - ge + cummax_{l<k}
+(Hnoe[l] - ge*l) — no sequential dependency, one cummax per row.
+
+Traceback bits are written per cell (2b H-source, 1b E-extend, 1b F-extend)
+and walked on the host (O(aligned length) per read).
+
+Gap cost convention: a gap of length g costs -(go + (g-1)*ge) with go, ge
+passed as negative numbers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.float32(-1e9)
+
+# H-source codes (2 bits)
+H_ZERO, H_DIAG, H_E, H_F = 0, 1, 2, 3
+
+
+@partial(jax.jit, static_argnames=("match", "mismatch", "go", "ge"))
+def banded_sw(read_codes, ref_window_codes, read_len, *,
+              match=2, mismatch=-3, go=-5, ge=-2):
+    """Batched banded local alignment.
+
+    read_codes       [B, M] uint8 (0-3 ACGT, 4=N/pad)
+    ref_window_codes [B, M + W] uint8 (per-read reference window; position
+                     i + k corresponds to band cell (i, k)); pad code 5
+    read_len         [B] int32 valid read lengths
+
+    Returns (tb [B, M, W] uint8 traceback bits, best [B] f32 score,
+             best_i [B] i32, best_k [B] i32).
+    """
+    bsz, m = read_codes.shape
+    w = ref_window_codes.shape[1] - m
+
+    matchf = jnp.float32(match)
+    mismatchf = jnp.float32(mismatch)
+    gof = jnp.float32(go)
+    gef = jnp.float32(ge)
+
+    karange = jnp.arange(w, dtype=jnp.float32)
+
+    def row_step(carry, i):
+        h_prev, f_prev, best, best_i, best_k = carry
+        # substitution scores for row i: read[i] vs ref[i + k]
+        rc = jax.lax.dynamic_index_in_dim(read_codes, i, axis=1,
+                                          keepdims=False)            # [B]
+        refrow = jax.lax.dynamic_slice_in_dim(ref_window_codes, i, w,
+                                              axis=1)                # [B, W]
+        is_match = (refrow == rc[:, None]) & (rc[:, None] < 4) & (refrow < 4)
+        sub = jnp.where(is_match, matchf, mismatchf)
+
+        # F (insertion in read, consumes read row): from (i-1, k+1)
+        h_up = jnp.concatenate([h_prev[:, 1:], jnp.full((bsz, 1), NEG)], axis=1)
+        f_up = jnp.concatenate([f_prev[:, 1:], jnp.full((bsz, 1), NEG)], axis=1)
+        f_cur = jnp.maximum(h_up + gof, f_up + gef)
+
+        # H without E
+        h_noe = jnp.maximum(jnp.maximum(h_prev + sub, f_cur), 0.0)
+
+        # E via shifted drift-adjusted cummax
+        a = h_noe - gef * karange[None, :]
+        cm = jax.lax.cummax(a, axis=1)
+        cm_shift = jnp.concatenate([jnp.full((bsz, 1), NEG), cm[:, :-1]], axis=1)
+        e_cur = gef * karange[None, :] + gof - gef + cm_shift
+
+        h_cur = jnp.maximum(h_noe, e_cur)
+
+        # row masking beyond read length
+        valid = (i < read_len)[:, None]
+        h_cur = jnp.where(valid, h_cur, 0.0)
+        f_cur = jnp.where(valid, f_cur, NEG)
+
+        # traceback bits
+        src = jnp.where(
+            h_cur <= 0.0, H_ZERO,
+            jnp.where(e_cur >= h_noe, H_E,
+                      jnp.where(f_cur >= jnp.maximum(h_prev + sub, 0.0), H_F,
+                                H_DIAG)))
+        # E extension bit: E[k] came by extending E[k-1] rather than opening
+        h_noe_shift = jnp.concatenate([jnp.full((bsz, 1), NEG), h_noe[:, :-1]],
+                                      axis=1)
+        e_ext = e_cur > h_noe_shift + gof + 1e-4
+        # F extension bit
+        f_ext = f_cur > h_up + gof + 1e-4
+        tb = (src.astype(jnp.uint8)
+              | (e_ext.astype(jnp.uint8) << 2)
+              | (f_ext.astype(jnp.uint8) << 3))
+
+        # best cell tracking
+        row_best_k = jnp.argmax(h_cur, axis=1).astype(jnp.int32)
+        row_best = jnp.take_along_axis(h_cur, row_best_k[:, None], axis=1)[:, 0]
+        improve = row_best > best
+        best = jnp.where(improve, row_best, best)
+        best_i = jnp.where(improve, i, best_i)
+        best_k = jnp.where(improve, row_best_k, best_k)
+
+        return (h_cur, f_cur, best, best_i, best_k), tb
+
+    init = (
+        jnp.zeros((bsz, w), jnp.float32),
+        jnp.full((bsz, w), NEG),
+        jnp.zeros(bsz, jnp.float32),
+        jnp.zeros(bsz, jnp.int32),
+        jnp.zeros(bsz, jnp.int32),
+    )
+    (h, f, best, best_i, best_k), tbs = jax.lax.scan(
+        row_step, init, jnp.arange(m, dtype=jnp.int32)
+    )
+    tb = jnp.transpose(tbs, (1, 0, 2))    # [B, M, W]
+    return tb, best, best_i, best_k
+
+
+def traceback(tb_row: np.ndarray, best_i: int, best_k: int,
+              read_len: int) -> List[Tuple[int, int]]:
+    """Walk one read's traceback bits from the best cell.
+
+    Returns the aligned (read_i, ref_window_j) pairs plus gap markers as a
+    list of ops, 5'→3': ('M', i, j) | ('I', i) insertion (read base, ref
+    gap) | ('D', j) deletion (ref base, read gap).  j = i + k is the
+    ref-window coordinate.
+    """
+    ops = []
+    i, k = int(best_i), int(best_k)
+    w = tb_row.shape[1]
+    state = "H"
+    while i >= 0:
+        bits = int(tb_row[i, k])
+        src = bits & 0b11
+        if state == "H":
+            if src == H_ZERO:
+                break
+            if src == H_DIAG:
+                ops.append(("M", i, i + k))
+                i -= 1                       # diag: same k
+                if i < 0:
+                    break
+            elif src == H_E:
+                state = "E"
+            else:
+                state = "F"
+        elif state == "E":
+            # consume ref position j = i + k, move left in band
+            ops.append(("D", i + k))
+            if bits & 0b100 and k - 1 >= 0:
+                k -= 1                       # continue extending
+                state = "E"
+            else:
+                k -= 1
+                state = "H"
+            if k < 0:
+                break
+        else:  # F: consume read base i, move up-right
+            ops.append(("I", i))
+            up_ext = bool(bits & 0b1000)
+            i -= 1
+            k += 1
+            if k >= w or i < 0:
+                break
+            state = "F" if up_ext else "H"
+    ops.reverse()
+    return ops

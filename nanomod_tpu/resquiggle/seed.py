@@ -1,0 +1,134 @@
+"""K-mer seeding: find the (chrom, strand, diagonal) band for each read.
+
+Replaces the seeding/chaining role of bwa/minimap2 (ref
+myRefBaseSignalAnnotation.py:406-417).  The reference genome is known and
+indexed once (sorted k-mer codes); each read votes for diagonals via exact
+k-mer hits, and the densest diagonal window wins.  The banded DP
+(resquiggle/banded.py) then refines within ±band/2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+from nanomod_tpu.io.fasta import revcomp
+
+_CODE = np.full(256, 4, dtype=np.int64)
+for _i, _b in enumerate(b"ACGT"):
+    _CODE[_b] = _i
+    _CODE[_b + 32] = _i
+
+
+def encode(seq: str) -> np.ndarray:
+    """ACGT -> 0..3, other -> 4."""
+    return _CODE[np.frombuffer(seq.encode(), dtype=np.uint8)]
+
+
+def _kmer_codes(codes: np.ndarray, k: int) -> np.ndarray:
+    """Rolling k-mer integer codes; k-mers containing non-ACGT get -1."""
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    bad = np.zeros(n, dtype=bool)
+    for j in range(k):
+        c = codes[j: j + n]
+        out = out * 4 + np.where(c > 3, 0, c)
+        bad |= c > 3
+    return np.where(bad, -1, out)
+
+
+@dataclass
+class SeedHit:
+    chrom: str
+    strand: str           # '+' | '-'
+    diag: int             # ref_pos - fwd_read_pos (band center offset)
+    votes: int
+
+
+class SeedIndex:
+    """Sorted k-mer index over all chromosomes of a FASTA."""
+
+    def __init__(self, seqs: Dict[str, str], k: int = 12,
+                 max_hits_per_kmer: int = 64):
+        self.k = k
+        self.max_hits = max_hits_per_kmer
+        self.chrom_names = list(seqs)
+        self.chrom_offsets = {}
+        codes_all = []
+        pos_all = []
+        offset = 0
+        self._bounds = []     # (start_offset, end_offset, name)
+        for name in self.chrom_names:
+            seq = seqs[name]
+            kc = _kmer_codes(encode(seq), k)
+            valid = kc >= 0
+            codes_all.append(kc[valid])
+            pos_all.append(np.flatnonzero(valid) + offset)
+            self.chrom_offsets[name] = offset
+            self._bounds.append((offset, offset + len(seq), name))
+            offset += len(seq) + k  # k-gap prevents cross-chrom kmers
+        codes = np.concatenate(codes_all) if codes_all else np.empty(0, np.int64)
+        pos = np.concatenate(pos_all) if pos_all else np.empty(0, np.int64)
+        order = np.argsort(codes, kind="stable")
+        self.sorted_codes = codes[order]
+        self.sorted_pos = pos[order]
+
+    def _chrom_of(self, gpos: int):
+        for lo, hi, name in self._bounds:
+            if lo <= gpos < hi:
+                return name, lo
+        return None, 0
+
+    def _diag_votes(self, read_codes_str: str):
+        kc = _kmer_codes(encode(read_codes_str), self.k)
+        valid = np.flatnonzero(kc >= 0)
+        if len(valid) == 0 or len(self.sorted_codes) == 0:
+            return None
+        q = kc[valid]
+        lo = np.searchsorted(self.sorted_codes, q, side="left")
+        hi = np.searchsorted(self.sorted_codes, q, side="right")
+        counts = hi - lo
+        keep = (counts > 0) & (counts <= self.max_hits)
+        if not keep.any():
+            return None
+        diags = []
+        for qi in np.flatnonzero(keep):
+            rpos = valid[qi]
+            refs = self.sorted_pos[lo[qi]: hi[qi]]
+            diags.append(refs - rpos)
+        diags = np.concatenate(diags)
+        return diags
+
+    def best_band(self, read_seq: str, band_slack: int = 48) -> Optional[SeedHit]:
+        """Best (chrom, strand, diagonal) by clustered seed votes.
+
+        Diagonals within ±band_slack are pooled so indel drift still counts
+        toward the same band.
+        """
+        best = None
+        for strand, seq in (("+", read_seq), ("-", revcomp(read_seq))):
+            diags = self._diag_votes(seq)
+            if diags is None or len(diags) == 0:
+                continue
+            diags.sort()
+            # densest window of width 2*band_slack via two pointers
+            j = 0
+            best_cnt, best_center = 0, 0
+            for i in range(len(diags)):
+                while diags[i] - diags[j] > 2 * band_slack:
+                    j += 1
+                cnt = i - j + 1
+                if cnt > best_cnt:
+                    best_cnt = cnt
+                    best_center = int(np.median(diags[j:i + 1]))
+            if best is None or best_cnt > best.votes:
+                chrom, off = self._chrom_of(max(best_center, 0))
+                if chrom is None:
+                    continue
+                best = SeedHit(chrom=chrom, strand=strand,
+                               diag=best_center - off, votes=best_cnt)
+        return best

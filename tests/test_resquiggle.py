@@ -1,0 +1,165 @@
+"""Resquiggle engine tests: seeding, banded alignment, indel-correction
+core, and the full Annotate -> detect round trip on synthetic raw reads."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import make_genome, make_raw_dataset, write_raw_fixture
+from nanomod_tpu.config import AnnotateConfig, DetectConfig, RankConfig
+from nanomod_tpu.io.fast5 import read_corrected_events
+from nanomod_tpu.io.fasta import FastaIndex, revcomp
+from nanomod_tpu.resquiggle.annotate import (Columns, GenomeEvents,
+                                             find_split_points,
+                                             group_indels,
+                                             mark_repeat_indels)
+from nanomod_tpu.resquiggle.pipeline import annotate_folder
+from nanomod_tpu.resquiggle.seed import SeedIndex
+
+
+def _write_fasta(path, chrom, genome):
+    with open(path, "w") as f:
+        f.write(f">{chrom}\n{genome}\n")
+
+
+# ---------------------------------------------------------------------------
+# unit: indel-correction core
+# ---------------------------------------------------------------------------
+
+def test_mark_repeat_indels_basic():
+    # ref: ACGTA / read: AC-TA -> deletion column at index 2
+    cols = Columns(np.array(list("ACGTA"), "<U1"), np.array(list("AC-TA"), "<U1"))
+    ip = mark_repeat_indels(cols)
+    assert ip == {2: (1, -1)}
+
+
+def test_mark_repeat_indels_insertion():
+    # ref: AC-TA / read: ACGTA -> insertion column at index 2, event 2
+    cols = Columns(np.array(list("AC-TA"), "<U1"), np.array(list("ACGTA"), "<U1"))
+    ip = mark_repeat_indels(cols)
+    assert ip == {2: (2, 1)}
+
+
+def test_repeat_period_marking():
+    # periodic 5-mer context turns indel into '~' (ref :1207-1212)
+    ref_ = "AAAAAAAA"
+    read = "AAAA-AAA"
+    cols = Columns(np.array(list(ref_), "<U1"), np.array(list(read), "<U1"))
+    mark_repeat_indels(cols)
+    assert cols.readbase[4] == "~"
+
+
+def test_find_split_points_clear_boundaries():
+    # two-level signal: one obvious split
+    sig = np.array([0.0] * 10 + [5.0] * 10)
+    sp = find_split_points(sig, expectna=2, signal_wind=4, min_num_signal=4)
+    assert sp is not None and len(sp) == 1
+    assert sp[0][0] == 10
+
+    # three segments
+    sig = np.array([0.0] * 8 + [5.0] * 8 + [-5.0] * 8)
+    sp = find_split_points(sig, expectna=3, signal_wind=4, min_num_signal=4)
+    assert sp is not None and [s for s, _ in sp] == [8, 16]
+
+
+def test_find_split_points_not_enough_room():
+    sig = np.zeros(6)
+    assert find_split_points(sig, expectna=4, signal_wind=3, min_num_signal=4) is None
+
+
+def test_group_indels_window_growth():
+    # deletion at column 5 of a 11-col match run; events 1:1 with read bases
+    ref_ = "ACGTACGTACG"
+    read = "ACGTA-GTACG"
+    cols = Columns(np.array(list(ref_), "<U1"), np.array(list(read), "<U1"))
+    ip = mark_repeat_indels(cols)
+    assert list(ip) == [5]
+    ev = GenomeEvents(np.arange(10) * 10, np.full(10, 10), "+")
+    groups = group_indels(ip, ev, cols, min_num_signal=4)
+    assert len(groups) == 1
+    (start_ev, end_ev, last_col, (ln, rn)) = groups[5]
+    # span must exceed (expectna + extra) * min_num_signal
+    lo, hi = ev.raw_span(start_ev, end_ev)
+    assert hi - lo > 0
+    assert start_ev <= ip[5][0] and end_ev >= ip[5][0] + 1
+
+
+# ---------------------------------------------------------------------------
+# integration: seeding
+# ---------------------------------------------------------------------------
+
+def test_seed_index_both_strands():
+    chrom, genome = make_genome(1200, seed=11, name="chrA")
+    idx = SeedIndex({chrom: genome}, k=12)
+    frag = genome[300:700]
+    hit = idx.best_band(frag)
+    assert hit.strand == "+" and abs(hit.diag - 300) < 16
+    hit = idx.best_band(revcomp(frag))
+    assert hit.strand == "-" and abs(hit.diag - 300) < 16
+
+
+# ---------------------------------------------------------------------------
+# end to end: Annotate on raw fixtures, then detect the planted mod
+# ---------------------------------------------------------------------------
+
+MOD_POS = 201
+
+
+@pytest.fixture(scope="module")
+def annotated(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("raw"))
+    chrom, genome = make_genome(length=420, seed=3)
+    fasta = os.path.join(root, "ref.fa")
+    _write_fasta(fasta, chrom, genome)
+    ctrl = os.path.join(root, "ctrl")
+    case = os.path.join(root, "case")
+    make_raw_dataset(ctrl, chrom, genome, n_reads=16, seed=10, error_rate=0.02)
+    make_raw_dataset(case, chrom, genome, n_reads=16, seed=20,
+                     mod_pos=MOD_POS, mod_delta_pa=12.0, error_rate=0.02)
+    cfg = AnnotateConfig(ref_fasta=fasta)
+    for folder in (ctrl, case):
+        n_ok, errors = annotate_folder(
+            AnnotateConfig(wrk_base1=folder, ref_fasta=fasta))
+        assert n_ok >= 14, f"too many failures: {errors}"
+    return root, chrom, genome, ctrl, case
+
+
+def test_annotate_layout_and_mapping(annotated):
+    root, chrom, genome, ctrl, case = annotated
+    ok = 0
+    for name in sorted(os.listdir(ctrl)):
+        rd = read_corrected_events(os.path.join(ctrl, name))
+        if rd is None:
+            continue
+        ok += 1
+        assert rd.chrom == chrom
+        assert rd.strand in "+-"
+        n = len(rd.norm_mean)
+        assert 0 <= rd.start and rd.start + n <= len(genome) + 5
+        # stored bases: '+' = ref bases at start+i; '-' = complement reversed
+        seq = "".join(b.decode() for b in rd.base)
+        refseq = genome[rd.start: rd.start + n]
+        if rd.strand == "-":
+            refseq = revcomp(refseq)
+        same = sum(a == b for a, b in zip(seq, refseq)) / max(len(seq), 1)
+        assert same > 0.95, f"{name}: base column mismatch ({same:.2f})"
+        # signal means are normalized (median/MAD scale)
+        assert np.abs(np.median(rd.norm_mean)) < 1.5
+    assert ok >= 14
+
+
+def test_annotate_then_detect_round_trip(annotated):
+    root, chrom, genome, ctrl, case = annotated
+    from nanomod_tpu.detect import run_detect
+    cfg = DetectConfig(
+        wrk_base1=ctrl, wrk_base2=case,
+        out_folder=os.path.join(root, "out"),
+        min_lr=0, min_coverage=5,
+        rank=RankConfig(window=3),
+    )
+    table, order, sites = run_detect(cfg)
+    assert len(sites) > 0
+    top = sites[0]
+    assert abs(top.pos - MOD_POS) <= 2, (
+        f"top site {top.chrom}:{top.pos}{top.strand}, expected ~{MOD_POS}")
