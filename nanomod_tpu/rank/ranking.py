@@ -113,12 +113,13 @@ def top_sites(
     """
     closesize = _close_size(stat_cfg, rank_cfg)
     out: List[RankedSite] = []
+    emitted = set()          # (chrom, strand, pos) for O(closesize) dedup
     for oi in order:
         chrom, strand = table.chrom_strand(oi)
         pos = int(table.positions[oi])
         too_close = any(
-            s.chrom == chrom and s.strand == strand and abs(s.pos - pos) < closesize
-            for s in out
+            (chrom, strand, p) in emitted
+            for p in range(pos - closesize + 1, pos + closesize)
         )
         if too_close:
             continue
@@ -126,6 +127,7 @@ def top_sites(
             continue
         out.append(RankedSite(len(out) + 1, chrom, strand, pos,
                               str(table.base[oi]), int(oi)))
+        emitted.add((chrom, strand, pos))
         if stop_at is not None:
             tchrom, tstrand, tpos, tclose = stop_at
             if chrom == tchrom and strand == tstrand and abs(pos - tpos) < tclose:
