@@ -136,6 +136,8 @@ class AnnotateConfig:
     mismatch_score: int = -3
     gap_open: int = -5
     gap_extend: int = -2
+    # use the C++ correction core when the toolchain is available
+    use_native: bool = True
 
 
 @dataclass(frozen=True)

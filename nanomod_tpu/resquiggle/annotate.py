@@ -243,25 +243,27 @@ def find_split_points(pvsignals: np.ndarray, expectna: int,
     n = len(pvsignals)
     lo = signal_wind
     hi = n - signal_wind + 1
-    if hi <= lo or expectna < 1:
-        return None
-    cs = np.concatenate([[0.0], np.cumsum(pvsignals, dtype=np.float64)])
-    i = np.arange(lo, hi)
-    left = (cs[i] - cs[i - signal_wind]) / signal_wind
-    right = (cs[i + signal_wind] - cs[i]) / signal_wind
-    scores = np.round(np.abs(left - right), 9)
-    # stable sort by descending score (ties keep ascending i, matching
-    # python sorted(key=-score) stability, ref :1059)
-    order = np.argsort(-scores, kind="stable")
     split_pos: List[Tuple[int, float]] = []
-    for oi in order:
-        cand = int(i[oi])
-        if any(-min_num_signal < cand - sp < min_num_signal for sp, _ in split_pos):
-            continue
-        split_pos.append((cand, float(scores[oi])))
-        if len(split_pos) == expectna - 1:
-            break
-    if len(split_pos) < expectna - 1:
+    if hi > lo:
+        cs = np.concatenate([[0.0], np.cumsum(pvsignals, dtype=np.float64)])
+        i = np.arange(lo, hi)
+        left = (cs[i] - cs[i - signal_wind]) / signal_wind
+        right = (cs[i + signal_wind] - cs[i]) / signal_wind
+        scores = np.round(np.abs(left - right), 9)
+        # stable sort by descending score (ties keep ascending i, matching
+        # python sorted(key=-score) stability, ref :1059)
+        order = np.argsort(-scores, kind="stable")
+        for oi in order:
+            cand = int(i[oi])
+            if any(-min_num_signal < cand - sp < min_num_signal
+                   for sp, _ in split_pos):
+                continue
+            split_pos.append((cand, float(scores[oi])))
+            if len(split_pos) == expectna - 1:
+                break
+    # success iff exactly expectna-1 splits were placed (ref :1094 — note
+    # expectna <= 1 therefore only succeeds when no candidates exist at all)
+    if len(split_pos) != expectna - 1:
         return None
     split_pos.sort(key=lambda t: t[0])
     return split_pos

@@ -196,13 +196,25 @@ def annotate_one(read: PreparedRead, ops, win_start: int, fasta: FastaIndex,
                           read.events_length[orig].astype(np.int64),
                           read.strand)
 
-    indel_pos = ann_mod.mark_repeat_indels(cols)
-    groups = ann_mod.group_indels(indel_pos, events, cols, cfg.min_num_signal,
-                                  cfg.more_signal_perc)
-    ann, signalnum = ann_mod.annotate_read(
-        cols, events, read.norm_signal, groups,
-        cfg.resegment_signal_wind, cfg.min_num_signal,
-    )
+    ann = None
+    if cfg.use_native:
+        from nanomod_tpu.native.annotate_bind import native_annotate
+        res = native_annotate(
+            cols.refbase, cols.readbase, events.start, events.length,
+            read.strand, read.norm_signal, cfg.min_num_signal,
+            cfg.resegment_signal_wind, cfg.more_signal_perc)
+        if res is not None:
+            ann, signalnum, new_rb = res
+            cols = Columns(cols.refbase, new_rb)
+    if ann is None:
+        indel_pos = ann_mod.mark_repeat_indels(cols)
+        groups = ann_mod.group_indels(indel_pos, events, cols,
+                                      cfg.min_num_signal,
+                                      cfg.more_signal_perc)
+        ann, signalnum = ann_mod.annotate_read(
+            cols, events, read.norm_signal, groups,
+            cfg.resegment_signal_wind, cfg.min_num_signal,
+        )
 
     # build output events over annotated columns, genome-ascending
     keys = sorted(ann)

@@ -95,13 +95,14 @@ class SeedIndex:
         keep = (counts > 0) & (counts <= self.max_hits)
         if not keep.any():
             return None
-        diags = []
-        for qi in np.flatnonzero(keep):
-            rpos = valid[qi]
-            refs = self.sorted_pos[lo[qi]: hi[qi]]
-            diags.append(refs - rpos)
-        diags = np.concatenate(diags)
-        return diags
+        # vectorized flat gather of all seed hits
+        sel = np.flatnonzero(keep)
+        cnt = counts[sel]
+        offs = np.concatenate([[0], np.cumsum(cnt)])
+        flat = (np.arange(offs[-1]) - np.repeat(offs[:-1], cnt)
+                + np.repeat(lo[sel], cnt))
+        refs = self.sorted_pos[flat]
+        return refs - np.repeat(valid[sel], cnt)
 
     def best_band(self, read_seq: str, band_slack: int = 48) -> Optional[SeedHit]:
         """Best (chrom, strand, diagonal) by clustered seed votes.
@@ -115,16 +116,13 @@ class SeedIndex:
             if diags is None or len(diags) == 0:
                 continue
             diags.sort()
-            # densest window of width 2*band_slack via two pointers
-            j = 0
-            best_cnt, best_center = 0, 0
-            for i in range(len(diags)):
-                while diags[i] - diags[j] > 2 * band_slack:
-                    j += 1
-                cnt = i - j + 1
-                if cnt > best_cnt:
-                    best_cnt = cnt
-                    best_center = int(np.median(diags[j:i + 1]))
+            # densest window of width 2*band_slack, vectorized: for each
+            # right endpoint i the left edge is searchsorted(d_i - 2*slack)
+            j_arr = np.searchsorted(diags, diags - 2 * band_slack, side="left")
+            win = np.arange(len(diags)) - j_arr + 1
+            i_best = int(np.argmax(win))
+            best_cnt = int(win[i_best])
+            best_center = int(np.median(diags[j_arr[i_best]: i_best + 1]))
             if best is None or best_cnt > best.votes:
                 chrom, off = self._chrom_of(max(best_center, 0))
                 if chrom is None:

@@ -2,9 +2,10 @@
 
 Replaces the reference's per-position Python loop over scipy calls
 (ref bin/scripts/myDetect.py:416-438 `mtest2` inner loop / :327-363
-`getKStest`).  The device computes the sort/rank components for a whole tile
-of positions at once (stats/kernels.py); the host applies float64 p-value
-transforms (stats/special.py) and the trivially-vectorized Welch moments.
+`getKStest`).  Only the raw pools (values + counts) cross the host->device
+link; masking, pooling and sorting happen on device
+(stats/kernels.battery_components); the host applies float64 p-value
+transforms (stats/special.py).
 """
 
 from __future__ import annotations
@@ -54,15 +55,15 @@ def _capacity_bucket(c: int) -> int:
     return 1 << (c - 1).bit_length()
 
 
-def _inf_padded(values, counts, cap):
-    """[Prows, cap] f32 with +inf beyond each row's count (host side)."""
-    p = len(counts)
-    out = np.full((p, cap), np.inf, dtype=np.float32)
+def _tile_slice(values, counts, lo, hi, cap, p_tile):
+    """[p_tile, cap] f32 tile + [p_tile] i32 counts (content beyond counts
+    is ignored by the device kernel)."""
+    v = np.zeros((p_tile, cap), dtype=np.float32)
     w = min(cap, values.shape[1])
-    col = np.arange(w)[None, :]
-    src = values[:, :w]
-    out[:, :w] = np.where(col < counts[:, None], src, np.inf)
-    return out
+    v[: hi - lo, :w] = values[lo:hi, :w]
+    c = np.zeros(p_tile, dtype=np.int32)
+    c[: hi - lo] = np.minimum(counts[lo:hi], cap)
+    return v, c
 
 
 def run_battery(
@@ -72,7 +73,7 @@ def run_battery(
     counts2: np.ndarray,
     strand: str = "+",
     cfg: StatConfig = StatConfig(),
-    tile_positions: int = 2048,
+    tile_positions: int = 8192,
     want_mstd: bool = False,
 ) -> TestResult:
     """Run the full KS + MWU + Welch-t battery for P positions.
@@ -97,51 +98,40 @@ def run_battery(
         c2 = _capacity_bucket(int(n2.max(initial=1)))
         p_tile = _round_up(hi - lo, 8)
 
-        v1 = np.full((p_tile, c1), np.inf, dtype=np.float32)
-        v2 = np.full((p_tile, c2), np.inf, dtype=np.float32)
-        v1[: hi - lo] = _inf_padded(values1[lo:hi], n1, c1)
-        v2[: hi - lo] = _inf_padded(values2[lo:hi], n2, c2)
-        cn1 = np.zeros(p_tile, dtype=np.int32)
-        cn2 = np.zeros(p_tile, dtype=np.int32)
-        cn1[: hi - lo] = n1
-        cn2[: hi - lo] = n2
+        v1, cn1 = _tile_slice(values1, counts1, lo, hi, c1, p_tile)
+        v2, cn2 = _tile_slice(values2, counts2, lo, hi, c2, p_tile)
+        cn1d = jnp.asarray(np.maximum(cn1, 1))
+        cn2d = jnp.asarray(np.maximum(cn2, 1))
+        v1d = jnp.asarray(v1)
+        v2d = jnp.asarray(v2)
 
-        z = np.concatenate([v1, v2], axis=1)
-        lab = np.zeros((p_tile, c1 + c2), dtype=np.float32)
-        lab[:, :c1] = 1.0
-
-        d_dev, trs_dev, ties_dev = kernels.pooled_rank_components(
-            jnp.asarray(z), jnp.asarray(lab),
-            jnp.asarray(np.maximum(cn1, 1).astype(np.float32)),
-            jnp.asarray(np.maximum(cn2, 1).astype(np.float32)),
-        )
+        comp = kernels.battery_components(v1d, cn1d, v2d, cn2d)
         sl = slice(0, hi - lo)
-        d_plain = np.asarray(d_dev)[sl].astype(np.float64)
-        trs = np.asarray(trs_dev)[sl]
-        ties = np.asarray(ties_dev)[sl]
+        comp = {k: np.asarray(v)[sl] for k, v in comp.items()}
 
         n1f = n1.astype(np.float64)
         n2f = n2.astype(np.float64)
 
         # Mann-Whitney U (ref myDetect.py:331-333)
-        u_min, zstat = kernels.mwu_from_components(trs, ties, n1, n2)
+        u_min, zstat = kernels.mwu_from_components(
+            comp["two_rank_sum"], comp["tie_sum"], n1, n2)
         out["stu"][lo:hi] = special.clamp_stat(u_min)
         out["pu"][lo:hi] = special.clamp_p(special.mwu_pvalue(zstat))
 
-        # Welch t (ref myDetect.py:335-337) — host, float64
-        t, df, (m1, va1, m2, va2) = kernels.welch_host(
-            values1[lo:hi], n1, values2[lo:hi], n2
-        )
+        # Welch t (ref myDetect.py:335-337) — f32 device moments, f64 finalize
+        t, df, (va1, va2) = kernels.welch_finalize(
+            comp["mean1"], comp["ss1"], n1, comp["mean2"], comp["ss2"], n2)
         out["stt"][lo:hi] = special.clamp_stat(t)
         out["pt"][lo:hi] = special.clamp_p(special.welch_pvalue(t, df))
         if want_mstd:
-            mstd[lo:hi, 0] = m1
+            mstd[lo:hi, 0] = comp["mean1"]
             mstd[lo:hi, 1] = np.sqrt(va1 * np.maximum(n1f - 1, 1) / np.maximum(n1f, 1))
-            mstd[lo:hi, 2] = m2
+            mstd[lo:hi, 2] = comp["mean2"]
             mstd[lo:hi, 3] = np.sqrt(va2 * np.maximum(n2f - 1, 1) / np.maximum(n2f, 1))
 
         # KS, with optional capped repeated-subsample variant
         # (ref myDetect.py:339-361)
+        d_plain = comp["ks_d"].astype(np.float64)
         if cov > 0:
             need_cap = (n1 > cov) | (n2 > cov)
         else:
@@ -150,7 +140,7 @@ def run_battery(
             q_idx = int(cfg.downsampling * cfg.downsampling_quantile)
             d_cap = np.asarray(
                 kernels.capped_ks_d(
-                    jnp.asarray(v1), jnp.asarray(cn1), jnp.asarray(v2), jnp.asarray(cn2),
+                    v1d, cn1d, v2d, cn2d,
                     cov=cov, repeats=cfg.downsampling, quantile_idx=q_idx,
                     seed=cfg.downsampling_seed + lo,
                 )

@@ -3,32 +3,29 @@
 The reference computes, per genomic position, a scipy call triplet —
 ``mannwhitneyu``, ``ttest_ind(equal_var=False)``, ``ks_2samp`` — in an
 interpreted Python loop (ref bin/scripts/myDetect.py:327-363,416-438).  Here
-the sort-bound work for a whole tile of positions is one fused XLA program.
+the sort-bound work for a whole tile of positions is one fused XLA program:
 
-Kernel interface (everything shape-static, jit-cached per (P, N)):
+    values1 [P, C1] f32   per-position signal pools, group 1 (padding
+    counts1 [P]     i32    beyond counts1 is ignored)
+    values2 [P, C2] f32   group 2
+    counts2 [P]     i32
 
-    z    [P, N] f32   pooled per-position samples, groups already
-                      concatenated, INVALID SLOTS PRE-PADDED WITH +inf
-                      on the host (pads sort to the end)
-    lab  [P, N] f32   1.0 where the sample came from group 1, else 0.0
-    n1   [P]    f32   group-1 sample count per position
-    n2   [P]    f32   group-2 sample count per position
-
-Everything per row reduces to ONE key-value sort plus cumulative scans:
+Everything per row reduces to ONE key-value sort of the pooled sample plus
+cumulative scans (masking, pooling and label construction also happen on
+device — only the raw pools cross the host->HBM link, which is the
+bottleneck on tunneled chips):
 
   * KS D      — max over tie-run ends of |cum_a/n1 - cum_b/n2|
   * MWU ranks — average tie ranks from run-start/run-end indices
                 (2*rank = run_start + run_end + 2, exact int32)
   * ties      — run lengths give Σ(t³-t) for the variance correction
+  * Welch     — masked two-pass f32 moments, finalized in f64 on host
 
-The O(N log N) sort work runs on device in f32/int32; the cheap O(P)
-p-value transforms (and the trivially-vectorized Welch moments) run on host
-in float64 (stats/special.py), because p-values underflow float32
-(p < 1e-38 is routine for modified sites) and TPUs have no fast native f64.
+The cheap O(P) p-value transforms run on host in float64
+(stats/special.py), because p-values underflow float32 (p < 1e-38 is
+routine for modified sites) and TPUs have no fast native f64.
 
-Note: input masking (`where(arange < count)`) fused into the sort operand
-triggers a pathological XLA-CPU compile-time blowup (minutes for a tiny
-graph); pre-padding on the host sidesteps it and is also cheaper on device.
+Everything is shape-static and jit-cached per (P, C1, C2) bucket.
 """
 
 from __future__ import annotations
@@ -42,43 +39,82 @@ import numpy as np
 _INF = jnp.float32(jnp.inf)
 
 
-@jax.jit
-def pooled_rank_components(z, lab, n1, n2):
-    """KS/MWU components over a tile: returns (d, two_rank_sum, tie_sum).
-
-    d            [P] f32  KS D statistic
-    two_rank_sum [P] i32  Σ over group-1 elements of 2*(average tie rank)
-    tie_sum      [P] f32  Σ over distinct tied values of (t^3 - t)
-    """
-    p_dim, n_dim = z.shape
-    zs, labs = jax.lax.sort((z, lab), dimension=1, num_keys=1)
+def _scan_components(zs, labs, n1f, n2f):
+    """KS D + doubled rank sums + tie sums from the key-value-sorted pooled
+    sample (pads = +inf at the end of each row)."""
+    p_dim, n_dim = zs.shape
     neq = zs[:, 1:] != zs[:, :-1]
     is_end = jnp.concatenate([neq, jnp.ones((p_dim, 1), bool)], axis=1)
     boundary = jnp.concatenate([jnp.ones((p_dim, 1), bool), neq], axis=1)
     zvalid = zs < _INF
 
-    idx = jnp.broadcast_to(jnp.arange(n_dim, dtype=jnp.int32)[None, :], (p_dim, n_dim))
+    idx = jnp.broadcast_to(jnp.arange(n_dim, dtype=jnp.int32)[None, :],
+                           (p_dim, n_dim))
     run_start = jax.lax.cummax(jnp.where(boundary, idx, -1), axis=1)
-    run_end = jax.lax.cummin(jnp.where(is_end, idx, n_dim), axis=1, reverse=True)
+    run_end = jax.lax.cummin(jnp.where(is_end, idx, n_dim), axis=1,
+                             reverse=True)
 
     # KS: F1/F2 only change at tie-run ends; cum_a counts group-1 <= value
     cum_a = jnp.cumsum(labs, axis=1)
     pos1 = jnp.arange(1, n_dim + 1, dtype=jnp.float32)[None, :]
-    diff = jnp.abs(cum_a / n1[:, None] - (pos1 - cum_a) / n2[:, None])
+    diff = jnp.abs(cum_a / n1f[:, None] - (pos1 - cum_a) / n2f[:, None])
     d = jnp.max(jnp.where(is_end & zvalid, diff, 0.0), axis=1)
 
     # MWU: average-tie rank (1-based, doubled): 2r = run_start + run_end + 2
     two_rank_sum = jnp.sum(
-        jnp.where(zvalid & (labs > 0.5), run_start + run_end + 2, 0).astype(jnp.int32),
-        axis=1,
-    )
+        jnp.where(zvalid & (labs > 0.5), run_start + run_end + 2, 0
+                  ).astype(jnp.int32), axis=1)
 
     # tie correction Σ_t (t^3 - t): each element in a run of length t
     # contributes t^2 - 1
     t_run = (run_end - run_start + 1).astype(jnp.float32)
     tie_sum = jnp.sum(jnp.where(zvalid, t_run * t_run - 1.0, 0.0), axis=1)
-
     return d, two_rank_sum, tie_sum
+
+
+@jax.jit
+def battery_components(values1, counts1, values2, counts2):
+    """Full battery components for a tile of positions from raw pools.
+
+    Returns dict with per-position arrays: ks_d, two_rank_sum, tie_sum,
+    and Welch mean/sum-of-squares moments (f32; host finalizes in f64).
+    """
+    p_dim, c1 = values1.shape
+    _, c2 = values2.shape
+    mask1 = jnp.arange(c1)[None, :] < counts1[:, None]
+    mask2 = jnp.arange(c2)[None, :] < counts2[:, None]
+    n1f = counts1.astype(jnp.float32)
+    n2f = counts2.astype(jnp.float32)
+
+    a = jnp.where(mask1, values1, _INF)
+    b = jnp.where(mask2, values2, _INF)
+    z = jnp.concatenate([a, b], axis=1)
+    lab = jnp.concatenate(
+        [mask1.astype(jnp.float32), jnp.zeros((p_dim, c2), jnp.float32)],
+        axis=1)
+    zs, labs = jax.lax.sort((z, lab), dimension=1, num_keys=1)
+    d, trs, ties = _scan_components(zs, labs, n1f, n2f)
+
+    # Welch f32 moments (two-pass)
+    va1 = jnp.where(mask1, values1, 0.0)
+    vb1 = jnp.where(mask2, values2, 0.0)
+    m1 = va1.sum(axis=1) / jnp.maximum(n1f, 1.0)
+    m2 = vb1.sum(axis=1) / jnp.maximum(n2f, 1.0)
+    ss1 = jnp.where(mask1, (values1 - m1[:, None]) ** 2, 0.0).sum(axis=1)
+    ss2 = jnp.where(mask2, (values2 - m2[:, None]) ** 2, 0.0).sum(axis=1)
+
+    return {"ks_d": d, "two_rank_sum": trs, "tie_sum": ties,
+            "mean1": m1, "ss1": ss1, "mean2": m2, "ss2": ss2}
+
+
+@jax.jit
+def pooled_rank_components(z, lab, n1, n2):
+    """Rank/KS components from a pre-pooled, pre-sorted-padding layout:
+    z [P, N] f32 with +inf pads, lab [P, N] f32 (1.0 = group 1), n1/n2 [P]
+    f32.  Used by the position-sharded multi-chip path (parallel/mesh.py).
+    """
+    zs, labs = jax.lax.sort((z, lab), dimension=1, num_keys=1)
+    return _scan_components(zs, labs, n1, n2)
 
 
 # ---------------------------------------------------------------------------
@@ -92,59 +128,47 @@ def pooled_rank_components(z, lab, n1, n2):
 # ---------------------------------------------------------------------------
 
 
-def _ks_d_rows(z, lab, n1, n2):
-    """KS D per row of prepadded pooled samples (helper for capped KS)."""
-    p_dim, n_dim = z.shape
-    zs, labs = jax.lax.sort((z, lab), dimension=1, num_keys=1)
-    neq = zs[:, 1:] != zs[:, :-1]
-    is_end = jnp.concatenate([neq, jnp.ones((p_dim, 1), bool)], axis=1)
-    cum_a = jnp.cumsum(labs, axis=1)
-    pos1 = jnp.arange(1, n_dim + 1, dtype=jnp.float32)[None, :]
-    diff = jnp.abs(cum_a / n1[:, None] - (pos1 - cum_a) / n2[:, None])
-    return jnp.max(jnp.where(is_end & (zs < _INF), diff, 0.0), axis=1)
-
-
 @partial(jax.jit, static_argnames=("cov", "repeats", "quantile_idx"))
-def capped_ks_d(values1, counts1, values2, counts2, *, cov, repeats, quantile_idx, seed):
+def capped_ks_d(values1, counts1, values2, counts2, *, cov, repeats,
+                quantile_idx, seed):
     """Quantile-selected KS D over `repeats` subsamples, per position.
 
-    values* [P, C*] f32 pools PRE-PADDED WITH +inf beyond counts*.
-    Returns d_sel [P]: the quantile_idx-th largest D (== quantile_idx-th
-    smallest p).  Effective sizes are min(count, cov); the caller computes p
-    on host with those sizes.
+    values* [P, C*] f32 raw pools (padding ignored).  Returns d_sel [P]:
+    the quantile_idx-th largest D (== quantile_idx-th smallest p).
+    Effective sizes are min(count, cov); the caller computes p on host with
+    those sizes.
     """
     p_dim, c1 = values1.shape
     _, c2 = values2.shape
+    v1 = jnp.where(jnp.arange(c1)[None, :] < counts1[:, None], values1, _INF)
+    v2 = jnp.where(jnp.arange(c2)[None, :] < counts2[:, None], values2, _INF)
     if c1 < cov:
-        values1 = jnp.pad(values1, ((0, 0), (0, cov - c1)), constant_values=jnp.inf)
+        v1 = jnp.pad(v1, ((0, 0), (0, cov - c1)), constant_values=jnp.inf)
     if c2 < cov:
-        values2 = jnp.pad(values2, ((0, 0), (0, cov - c2)), constant_values=jnp.inf)
+        v2 = jnp.pad(v2, ((0, 0), (0, cov - c2)), constant_values=jnp.inf)
 
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
-    # [P, R, cov] sample indices (uniform with replacement)
     idx1 = jax.random.randint(k1, (p_dim, repeats, cov), 0,
                               jnp.maximum(counts1, 1)[:, None, None])
     idx2 = jax.random.randint(k2, (p_dim, repeats, cov), 0,
                               jnp.maximum(counts2, 1)[:, None, None])
 
-    ne1 = jnp.minimum(counts1, cov).astype(jnp.float32)   # [P]
+    ne1 = jnp.minimum(counts1, cov).astype(jnp.float32)
     ne2 = jnp.minimum(counts2, cov).astype(jnp.float32)
 
     def one_repeat(r):
-        # gathered samples when capping applies; original +inf-padded prefix
-        # otherwise (pads sort to the end, sizes tracked by ne1/ne2)
-        g1 = jnp.take_along_axis(values1, idx1[:, r, :], axis=1)
-        g2 = jnp.take_along_axis(values2, idx2[:, r, :], axis=1)
-        s1 = jnp.where((counts1 > cov)[:, None], g1, values1[:, :cov])
-        s2 = jnp.where((counts2 > cov)[:, None], g2, values2[:, :cov])
+        g1 = jnp.take_along_axis(v1, idx1[:, r, :], axis=1)
+        g2 = jnp.take_along_axis(v2, idx2[:, r, :], axis=1)
+        s1 = jnp.where((counts1 > cov)[:, None], g1, v1[:, :cov])
+        s2 = jnp.where((counts2 > cov)[:, None], g2, v2[:, :cov])
         z = jnp.concatenate([s1, s2], axis=1)
         lab = jnp.concatenate(
-            [jnp.ones((p_dim, cov), jnp.float32), jnp.zeros((p_dim, cov), jnp.float32)],
-            axis=1,
-        )
-        # pads carry lab=1 in s1 but sort to the tail (invalid region)
-        return _ks_d_rows(z, lab, ne1, ne2)
+            [jnp.ones((p_dim, cov), jnp.float32),
+             jnp.zeros((p_dim, cov), jnp.float32)], axis=1)
+        zs, labs = jax.lax.sort((z, lab), dimension=1, num_keys=1)
+        d, _, _ = _scan_components(zs, labs, ne1, ne2)
+        return d
 
     ds = jax.vmap(one_repeat, out_axes=1)(jnp.arange(repeats))  # [P, R]
     ds_desc = -jnp.sort(-ds, axis=1)
@@ -175,28 +199,20 @@ def mwu_from_components(two_rank_sum, tie_sum, n1, n2):
     return np.minimum(u1, u2), z
 
 
-def welch_host(values1, counts1, values2, counts2):
-    """Host float64 Welch t + df from +inf-padded pools.
+def welch_finalize(mean1, ss1, n1, mean2, ss2, n2):
+    """Host float64 Welch t + df from device f32 moments.
 
     Matches scipy ttest_ind(equal_var=False) (ref myDetect.py:335): ddof=1
     variances, Welch-Satterthwaite df (df := 1 where the denominator is 0).
     """
-    def moments(v, n):
-        mask = np.arange(v.shape[1])[None, :] < n[:, None]
-        vv = np.where(mask, v, 0.0).astype(np.float64)
-        nf = n.astype(np.float64)
-        mean = vv.sum(axis=1) / np.maximum(nf, 1.0)
-        var = np.where(mask, (vv - mean[:, None]) ** 2, 0.0).sum(axis=1) / np.maximum(
-            nf - 1.0, 1.0
-        )
-        return mean, var, nf
-
-    m1, v1, n1 = moments(values1, counts1)
-    m2, v2, n2 = moments(values2, counts2)
+    n1 = n1.astype(np.float64)
+    n2 = n2.astype(np.float64)
+    v1 = ss1.astype(np.float64) / np.maximum(n1 - 1.0, 1.0)
+    v2 = ss2.astype(np.float64) / np.maximum(n2 - 1.0, 1.0)
     vn1 = v1 / n1
     vn2 = v2 / n2
     with np.errstate(divide="ignore", invalid="ignore"):
         df = (vn1 + vn2) ** 2 / (vn1 ** 2 / (n1 - 1.0) + vn2 ** 2 / (n2 - 1.0))
-        t = (m1 - m2) / np.sqrt(vn1 + vn2)
+        t = (mean1.astype(np.float64) - mean2.astype(np.float64)) / np.sqrt(vn1 + vn2)
     df = np.where(np.isnan(df), 1.0, df)
-    return t, df, (m1, v1, m2, v2)
+    return t, df, (v1, v2)

@@ -1,0 +1,110 @@
+"""Differential tests: the C++ correction core must reproduce the Python
+specification (resquiggle/annotate.py) on randomized reads."""
+
+import numpy as np
+import pytest
+
+from nanomod_tpu.native.annotate_bind import native_annotate
+from nanomod_tpu.native.build import native_available
+from nanomod_tpu.resquiggle.annotate import (Columns, GenomeEvents,
+                                             annotate_read, group_indels,
+                                             mark_repeat_indels)
+
+pytestmark = pytest.mark.skipif(not native_available("annotate_core"),
+                                reason="no C++ toolchain")
+
+BASES = np.array(list("ACGT"))
+
+
+def _random_read(rng, n_cols=400, indel_rate=0.05, strand="+"):
+    """Random aligned columns + consistent genome-ordered events + signal."""
+    refb = []
+    readb = []
+    for _ in range(n_cols):
+        r = rng.random()
+        b = str(rng.choice(BASES))
+        if r < indel_rate / 2:
+            refb.append("-")            # insertion
+            readb.append(b)
+        elif r < indel_rate:
+            refb.append(b)              # deletion
+            readb.append("-")
+        elif r < indel_rate + 0.02:
+            refb.append(b)              # mismatch
+            readb.append(str(rng.choice(BASES)))
+        else:
+            refb.append(b)
+            readb.append(b)
+    refb = np.array(refb, "<U1")
+    readb = np.array(readb, "<U1")
+    n_events = int((readb != "-").sum())
+
+    # events in genome order; raw spans consistent with strand convention
+    dwell = rng.integers(5, 15, n_events)
+    if strand == "+":
+        starts = np.concatenate([[0], np.cumsum(dwell[:-1])])
+    else:
+        # genome event g maps to read event (n-1-g): later genome events
+        # come earlier in the raw signal
+        rev = np.concatenate([[0], np.cumsum(dwell[::-1][:-1])])
+        starts = rev[::-1]
+    raw_len = int(dwell.sum())
+    raw = np.round(rng.normal(0, 1, raw_len), 3)
+    return refb, readb, starts.astype(np.int64), dwell.astype(np.int64), raw
+
+
+@pytest.mark.parametrize("strand", ["+", "-"])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_native_matches_python(strand, seed):
+    rng = np.random.default_rng(seed)
+    refb, readb, ev_start, ev_len, raw = _random_read(rng, strand=strand)
+
+    # python reference path
+    cols_py = Columns(refb.copy(), readb.copy())
+    indel_pos = mark_repeat_indels(cols_py)
+    events = GenomeEvents(ev_start, ev_len, strand)
+    groups = group_indels(indel_pos, events, cols_py, min_num_signal=4,
+                          more_signal_perc=0.3)
+    ann_py, hist_py = annotate_read(cols_py, events, raw, groups,
+                                    resegment_signal_wind=4, min_num_signal=4)
+
+    # native path
+    res = native_annotate(refb.copy(), readb.copy(), ev_start, ev_len,
+                          strand, raw, 4, 4, 0.3)
+    assert res is not None
+    ann_c, hist_c, readb_c = res
+
+    np.testing.assert_array_equal(readb_c, cols_py.readbase)
+    assert hist_c == dict(hist_py), (hist_c, dict(hist_py))
+
+    keys_py = {k for k, v in ann_py.items() if len(v) >= 3}
+    assert set(ann_c) == keys_py
+    for k in sorted(keys_py):
+        _, m_p, s_p, st_p, ln_p = ann_py[k]
+        _, m_c, s_c, st_c, ln_c = ann_c[k]
+        assert st_c == st_p and ln_c == ln_p, f"col {k} span"
+        assert m_c == pytest.approx(m_p, abs=1.1e-3), f"col {k} mean"
+        assert s_c == pytest.approx(s_p, abs=1.1e-3), f"col {k} std"
+
+
+def test_native_speedup():
+    import time
+    rng = np.random.default_rng(7)
+    refb, readb, ev_start, ev_len, raw = _random_read(rng, n_cols=2000)
+
+    t0 = time.time()
+    for _ in range(3):
+        native_annotate(refb.copy(), readb.copy(), ev_start, ev_len, "+",
+                        raw, 4, 4, 0.3)
+    t_native = (time.time() - t0) / 3
+
+    cols = Columns(refb.copy(), readb.copy())
+    t0 = time.time()
+    ip = mark_repeat_indels(cols)
+    ev = GenomeEvents(ev_start, ev_len, "+")
+    gr = group_indels(ip, ev, cols, 4, 0.3)
+    annotate_read(cols, ev, raw, gr, 4, 4)
+    t_py = time.time() - t0
+    assert t_native < t_py, (t_native, t_py)
+    print(f"native {t_native*1e3:.1f}ms vs python {t_py*1e3:.1f}ms "
+          f"({t_py/max(t_native,1e-9):.0f}x)")

@@ -68,21 +68,13 @@ def test_battery_matches_scipy(ties):
 def test_rank_sum_exact_with_ties():
     # doubled rank sums must be exactly the (integer) 2*scipy rankdata sums
     from nanomod_tpu.stats import kernels
-    from nanomod_tpu.stats.battery import _inf_padded
     import jax.numpy as jnp
 
     v1, c1, v2, c2 = _make_pools(16, 20, 25, ties=True)
-    z1 = _inf_padded(v1, c1, v1.shape[1])
-    z2 = _inf_padded(v2, c2, v2.shape[1])
-    z = np.concatenate([z1, z2], axis=1)
-    lab = np.zeros_like(z, dtype=np.float32)
-    lab[:, : v1.shape[1]] = 1.0
-    _, trs, ties = kernels.pooled_rank_components(
-        jnp.asarray(z), jnp.asarray(lab),
-        jnp.asarray(c1.astype(np.float32)), jnp.asarray(c2.astype(np.float32)),
-    )
-    trs = np.asarray(trs)
-    ties = np.asarray(ties)
+    comp = kernels.battery_components(
+        jnp.asarray(v1), jnp.asarray(c1), jnp.asarray(v2), jnp.asarray(c2))
+    trs = np.asarray(comp["two_rank_sum"])
+    ties = np.asarray(comp["tie_sum"])
     for i, (a, b) in enumerate(_rows(v1, c1, v2, c2)):
         ranks = ss.rankdata(np.concatenate([a, b]))
         assert trs[i] == int(round(2 * ranks[: len(a)].sum()))
