@@ -135,6 +135,42 @@ def banded_sw(read_codes, ref_window_codes, read_len, *,
     return tb, best, best_i, best_k
 
 
+def traceback_native(tb_row: np.ndarray, best_i: int, best_k: int):
+    """C++ traceback (native/traceback.cpp); returns ops like `traceback`
+    or None when the toolchain is unavailable."""
+    import ctypes
+    from nanomod_tpu.native.build import load_native
+
+    lib = load_native("traceback")
+    if lib is None:
+        return None
+    if not getattr(lib, "_sig", False):
+        lib.traceback_one.restype = ctypes.c_int64
+        lib.traceback_one.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
+        lib._sig = True
+    m, w = tb_row.shape
+    cap = 2 * m + w + 8
+    ot = np.empty(cap, np.int32)
+    oa = np.empty(cap, np.int32)
+    ob = np.empty(cap, np.int32)
+    tb_c = np.ascontiguousarray(tb_row, dtype=np.uint8)
+    n = lib.traceback_one(
+        tb_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), m, w,
+        int(best_i), int(best_k),
+        ot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        oa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ob.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+    codes = ("M", "I", "D")
+    return [((codes[ot[i]], int(oa[i]), int(ob[i])) if ot[i] == 0
+             else (codes[ot[i]], int(oa[i])))
+            for i in range(n)]
+
+
 def traceback(tb_row: np.ndarray, best_i: int, best_k: int,
               read_len: int) -> List[Tuple[int, int]]:
     """Walk one read's traceback bits from the best cell.

@@ -129,13 +129,18 @@ def align_batch(reads: List[PreparedRead], fasta: FastaIndex,
     bi = np.asarray(bi)
     bk = np.asarray(bk)
 
+    from nanomod_tpu.resquiggle.banded import traceback_native
     out = []
     for i, r in enumerate(reads):
         min_score = max(20, int(0.3 * cfg.match_score * lens[i]))
         if best[i] < min_score:
             out.append((None, int(win_starts[i])))
             continue
-        ops = traceback(tb[i], bi[i], bk[i], int(lens[i]))
+        ops = None
+        if cfg.use_native:
+            ops = traceback_native(tb[i], bi[i], bk[i])
+        if ops is None:
+            ops = traceback(tb[i], bi[i], bk[i], int(lens[i]))
         out.append((ops, int(win_starts[i])))
     return out
 

@@ -28,6 +28,8 @@ class TestResult:
     (ref myDetect.py:436) as dense arrays.
     """
 
+    __test__ = False   # not a pytest class
+
     stu: np.ndarray
     pu: np.ndarray
     stt: np.ndarray

@@ -108,3 +108,38 @@ def test_native_speedup():
     assert t_native < t_py, (t_native, t_py)
     print(f"native {t_native*1e3:.1f}ms vs python {t_py*1e3:.1f}ms "
           f"({t_py/max(t_native,1e-9):.0f}x)")
+
+
+def test_native_traceback_matches_python():
+    import jax
+    import numpy as np
+    from nanomod_tpu.resquiggle.banded import (banded_sw, traceback,
+                                               traceback_native)
+    from nanomod_tpu.resquiggle.seed import encode
+
+    rng = np.random.default_rng(3)
+    genome = "".join(rng.choice(BASES, 800))
+    frag = list(genome[100:500])
+    # plant errors
+    for _ in range(12):
+        i = rng.integers(1, len(frag) - 1)
+        r = rng.random()
+        if r < 0.4:
+            frag[i] = str(rng.choice(BASES))
+        elif r < 0.7:
+            frag[i] = frag[i] + str(rng.choice(BASES))
+        else:
+            frag[i] = ""
+    read = "".join(frag)
+    W, M = 128, len(read)
+    ws = 100 - W // 2
+    ref_codes = np.full((1, M + W), 5, np.uint8)
+    rc = encode(genome[max(ws, 0): ws + M + W]).astype(np.uint8)
+    ref_codes[0, : len(rc)] = rc
+    read_codes = encode(read).astype(np.uint8)[None, :]
+    tb, best, bi, bk = banded_sw(read_codes, ref_codes,
+                                 np.array([M], np.int32))
+    tb = np.asarray(tb)
+    ops_py = traceback(tb[0], int(bi[0]), int(bk[0]), M)
+    ops_c = traceback_native(tb[0], int(bi[0]), int(bk[0]))
+    assert ops_c == ops_py
