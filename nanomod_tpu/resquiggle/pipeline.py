@@ -288,12 +288,18 @@ def annotate_files(paths: List[str], cfg: AnnotateConfig,
     errors = defaultdict(list)
     signal_hist = defaultdict(int)
     prepared = []
-    for p in paths:
-        rd, err = prepare_read(p, cfg, seed_index, kmer_model)
-        if rd is None:
-            errors[err].append(p)
-        else:
-            prepared.append(rd)
+    # the prepare phase is HDF5/numpy bound; h5py releases the GIL during
+    # reads, so a thread pool covers the reference's multiprocessing use
+    # (ref myRefBaseSignalAnnotation.py:1466-1471)
+    from concurrent.futures import ThreadPoolExecutor
+    workers = max(1, min(cfg.threads, 16))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        for p, (rd, err) in zip(paths, ex.map(
+                lambda q: prepare_read(q, cfg, seed_index, kmer_model), paths)):
+            if rd is None:
+                errors[err].append(p)
+            else:
+                prepared.append(rd)
 
     # bucket by length for batched alignment
     buckets: Dict[int, List[PreparedRead]] = defaultdict(list)
@@ -322,7 +328,11 @@ def annotate_files(paths: List[str], cfg: AnnotateConfig,
 
 def annotate_folder(cfg: AnnotateConfig):
     """correctAndAnnotate_manager (ref :1429-1497): discover FAST5s and
-    annotate them in batches."""
+    annotate them in batches, reporting throughput and the reference's
+    error-type histogram."""
+    import time
+
+    start = time.time()
     paths = list(iter_fast5_files(cfg.wrk_base1, recursive=cfg.recursive))
     print(f"Total f5={len(paths)}")
     fasta = FastaIndex(cfg.ref_fasta)
@@ -335,7 +345,13 @@ def annotate_folder(cfg: AnnotateConfig):
         total_ok += n_ok
         for k, v in errors.items():
             all_errors[k].extend(v)
+        done = min(lo + cfg.files_per_thread, len(paths))
+        dt = time.time() - start
+        if cfg.out_level <= 1 and done < len(paths):
+            print(f"{done}/{len(paths)} reads, {done / max(dt, 1e-9):.1f} reads/s")
+    dt = time.time() - start
     print("Error information for different fast5 files:")
     for k, v in all_errors.items():
         print(f"\t{k} {len(v)}")
+    print(f"Total consuming time {dt:.0f} ({total_ok / max(dt, 1e-9):.1f} reads/s)")
     return total_ok, dict(all_errors)

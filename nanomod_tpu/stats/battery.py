@@ -92,6 +92,10 @@ def run_battery(
     mstd = np.empty((p_total, 4), dtype=np.float64) if want_mstd else None
     cov = int(cfg.coverages[0 if strand == "+" else 1])
 
+    # phase A: transfer + launch every tile asynchronously (device dispatch
+    # is async; fetching later pipelines H2D, compute and D2H and amortizes
+    # per-call link latency on tunneled chips)
+    pending = []
     for lo in range(0, p_total, tile_positions):
         hi = min(lo + tile_positions, p_total)
         n1 = counts1[lo:hi].astype(np.int32)
@@ -106,10 +110,21 @@ def run_battery(
         cn2d = jnp.asarray(np.maximum(cn2, 1))
         v1d = jnp.asarray(v1)
         v2d = jnp.asarray(v2)
+        comp_dev = kernels.battery_components(v1d, cn1d, v2d, cn2d)
 
-        comp = kernels.battery_components(v1d, cn1d, v2d, cn2d)
+        cap_dev = None
+        if cov > 0 and bool(((n1 > cov) | (n2 > cov)).any()):
+            q_idx = int(cfg.downsampling * cfg.downsampling_quantile)
+            cap_dev = kernels.capped_ks_d(
+                v1d, cn1d, v2d, cn2d,
+                cov=cov, repeats=cfg.downsampling, quantile_idx=q_idx,
+                seed=cfg.downsampling_seed + lo)
+        pending.append((lo, hi, n1, n2, comp_dev, cap_dev))
+
+    # phase B: fetch + host float64 finalization
+    for lo, hi, n1, n2, comp_dev, cap_dev in pending:
         sl = slice(0, hi - lo)
-        comp = {k: np.asarray(v)[sl] for k, v in comp.items()}
+        comp = {k: np.asarray(v)[sl] for k, v in comp_dev.items()}
 
         n1f = n1.astype(np.float64)
         n2f = n2.astype(np.float64)
@@ -138,15 +153,8 @@ def run_battery(
             need_cap = (n1 > cov) | (n2 > cov)
         else:
             need_cap = np.zeros(hi - lo, dtype=bool)
-        if need_cap.any():
-            q_idx = int(cfg.downsampling * cfg.downsampling_quantile)
-            d_cap = np.asarray(
-                kernels.capped_ks_d(
-                    v1d, cn1d, v2d, cn2d,
-                    cov=cov, repeats=cfg.downsampling, quantile_idx=q_idx,
-                    seed=cfg.downsampling_seed + lo,
-                )
-            )[sl].astype(np.float64)
+        if cap_dev is not None and need_cap.any():
+            d_cap = np.asarray(cap_dev)[sl].astype(np.float64)
             ne1 = np.minimum(n1f, cov)
             ne2 = np.minimum(n2f, cov)
             d_sel = np.where(need_cap, d_cap, d_plain)
