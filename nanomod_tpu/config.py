@@ -138,6 +138,9 @@ class AnnotateConfig:
     gap_extend: int = -2
     # use the C++ correction core when the toolchain is available
     use_native: bool = True
+    # use the Pallas DP kernel on accelerator backends (falls back to the
+    # lax.scan implementation on CPU)
+    use_pallas_dp: bool = True
 
 
 @dataclass(frozen=True)

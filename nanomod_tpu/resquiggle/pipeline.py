@@ -100,9 +100,13 @@ def align_batch(reads: List[PreparedRead], fasta: FastaIndex,
     ops (or None for failed alignments)."""
     if not reads:
         return []
+    import jax as _jax
+    use_pallas = cfg.use_pallas_dp and _jax.default_backend() != "cpu"
     w = cfg.band_width
     m = _length_bucket(max(len(r.fwd_seq) for r in reads))
     bsz = len(reads)
+    if use_pallas:
+        bsz = ((bsz + 7) // 8) * 8         # pallas kernel: 8 reads/program
     read_codes = np.full((bsz, m), 4, np.uint8)
     ref_codes = np.full((bsz, m + w), 5, np.uint8)
     lens = np.zeros(bsz, np.int32)
@@ -119,11 +123,19 @@ def align_batch(reads: List[PreparedRead], fasta: FastaIndex,
         if hi > lo:
             ref_codes[i, lo - ws: hi - ws] = encode(genome[lo:hi]).astype(np.uint8)
 
-    tb, best, bi, bk = banded_sw(
-        read_codes, ref_codes, lens,
-        match=cfg.match_score, mismatch=cfg.mismatch_score,
-        go=cfg.gap_open, ge=cfg.gap_extend,
-    )
+    if use_pallas:
+        from nanomod_tpu.resquiggle.banded_pallas import banded_sw_pallas
+        tb, best, bi, bk = banded_sw_pallas(
+            read_codes, ref_codes, lens,
+            match=cfg.match_score, mismatch=cfg.mismatch_score,
+            go=cfg.gap_open, ge=cfg.gap_extend,
+        )
+    else:
+        tb, best, bi, bk = banded_sw(
+            read_codes, ref_codes, lens,
+            match=cfg.match_score, mismatch=cfg.mismatch_score,
+            go=cfg.gap_open, ge=cfg.gap_extend,
+        )
     tb = np.asarray(tb)
     best = np.asarray(best)
     bi = np.asarray(bi)

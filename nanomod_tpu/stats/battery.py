@@ -57,12 +57,34 @@ def _capacity_bucket(c: int) -> int:
     return 1 << (c - 1).bit_length()
 
 
-def _tile_slice(values, counts, lo, hi, cap, p_tile):
-    """[p_tile, cap] f32 tile + [p_tile] i32 counts (content beyond counts
-    is ignored by the device kernel)."""
-    v = np.zeros((p_tile, cap), dtype=np.float32)
+def _milli_exact(values: np.ndarray) -> bool:
+    """True when every value is an exact multiple of 0.001 within int16
+    range — the system-wide 3-decimal rounding invariant — so pools can be
+    shipped as half-size int16 without changing any statistic."""
+    if values.size == 0:
+        return False
+    with np.errstate(invalid="ignore"):
+        scaled = values.astype(np.float64) * 1000.0
+        return bool(
+            np.nanmax(np.abs(scaled), initial=0.0) < 32767.0
+            and np.all(np.abs(scaled - np.round(scaled)) < 0.01)
+        )
+
+
+def _tile_slice(values, counts, lo, hi, cap, p_tile, as_int16=False):
+    """[p_tile, cap] tile + [p_tile] i32 counts (content beyond counts is
+    ignored by the device kernel).  With as_int16, values are shipped as
+    exact milli-encoded int16 (half the transfer bytes; see
+    kernels.battery_components)."""
     w = min(cap, values.shape[1])
-    v[: hi - lo, :w] = values[lo:hi, :w]
+    if as_int16:
+        v = np.zeros((p_tile, cap), dtype=np.int16)
+        v[: hi - lo, :w] = np.round(
+            values[lo:hi, :w].astype(np.float64) * 1000.0
+        ).astype(np.int16)
+    else:
+        v = np.zeros((p_tile, cap), dtype=np.float32)
+        v[: hi - lo, :w] = values[lo:hi, :w]
     c = np.zeros(p_tile, dtype=np.int32)
     c[: hi - lo] = np.minimum(counts[lo:hi], cap)
     return v, c
@@ -91,6 +113,7 @@ def run_battery(
     }
     mstd = np.empty((p_total, 4), dtype=np.float64) if want_mstd else None
     cov = int(cfg.coverages[0 if strand == "+" else 1])
+    as_int16 = _milli_exact(values1) and _milli_exact(values2)
 
     # phase A: transfer + launch every tile asynchronously (device dispatch
     # is async; fetching later pipelines H2D, compute and D2H and amortizes
@@ -104,8 +127,8 @@ def run_battery(
         c2 = _capacity_bucket(int(n2.max(initial=1)))
         p_tile = _round_up(hi - lo, 8)
 
-        v1, cn1 = _tile_slice(values1, counts1, lo, hi, c1, p_tile)
-        v2, cn2 = _tile_slice(values2, counts2, lo, hi, c2, p_tile)
+        v1, cn1 = _tile_slice(values1, counts1, lo, hi, c1, p_tile, as_int16)
+        v2, cn2 = _tile_slice(values2, counts2, lo, hi, c2, p_tile, as_int16)
         cn1d = jnp.asarray(np.maximum(cn1, 1))
         cn2d = jnp.asarray(np.maximum(cn2, 1))
         v1d = jnp.asarray(v1)

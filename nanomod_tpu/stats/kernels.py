@@ -76,9 +76,19 @@ def _scan_components(zs, labs, n1f, n2f):
 def battery_components(values1, counts1, values2, counts2):
     """Full battery components for a tile of positions from raw pools.
 
+    values* may be float32, or int16 "milli" encodings (value*1000) — signal
+    means are rounded to 3 decimals throughout the system (ref
+    myRefBaseSignalAnnotation.py:259 round(.,3)), so the int16 form is an
+    exact, order/tie-preserving half-size wire format for the host->HBM
+    link.
+
     Returns dict with per-position arrays: ks_d, two_rank_sum, tie_sum,
     and Welch mean/sum-of-squares moments (f32; host finalizes in f64).
     """
+    if values1.dtype == jnp.int16:
+        values1 = values1.astype(jnp.float32) * jnp.float32(1e-3)
+    if values2.dtype == jnp.int16:
+        values2 = values2.astype(jnp.float32) * jnp.float32(1e-3)
     p_dim, c1 = values1.shape
     _, c2 = values2.shape
     mask1 = jnp.arange(c1)[None, :] < counts1[:, None]
@@ -138,6 +148,10 @@ def capped_ks_d(values1, counts1, values2, counts2, *, cov, repeats,
     Effective sizes are min(count, cov); the caller computes p on host with
     those sizes.
     """
+    if values1.dtype == jnp.int16:
+        values1 = values1.astype(jnp.float32) * jnp.float32(1e-3)
+    if values2.dtype == jnp.int16:
+        values2 = values2.astype(jnp.float32) * jnp.float32(1e-3)
     p_dim, c1 = values1.shape
     _, c2 = values2.shape
     v1 = jnp.where(jnp.arange(c1)[None, :] < counts1[:, None], values1, _INF)

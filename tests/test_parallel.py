@@ -70,3 +70,21 @@ def test_distributed_detect_step(mesh):
     d_ref, _, _ = (np.asarray(x) for x in
                    kernels.pooled_rank_components(z, lab, n1, n2))
     np.testing.assert_allclose(np.asarray(d_all), d_ref, rtol=1e-6)
+
+
+def test_shard_list_round_robin():
+    from nanomod_tpu.parallel.dist import shard_list
+    items = list(range(10))
+    shards = [shard_list(items, process_id=i, process_count=3) for i in range(3)]
+    assert sorted(sum(shards, [])) == items
+    assert shards[0] == [0, 3, 6, 9]
+
+
+def test_merge_pools_single_host_identity():
+    from nanomod_tpu.parallel.dist import merge_pools_across_hosts
+    from nanomod_tpu.accum.pools import PoolBuilder
+    b = PoolBuilder()
+    b.add_read("c", "+", 5, np.array([1.0, 2.0], np.float32),
+               np.array([b"A", b"C"], "S1"))
+    pools = b.finalize()
+    assert merge_pools_across_hosts(pools) is pools

@@ -163,3 +163,26 @@ def test_annotate_then_detect_round_trip(annotated):
     top = sites[0]
     assert abs(top.pos - MOD_POS) <= 2, (
         f"top site {top.chrom}:{top.pos}{top.strand}, expected ~{MOD_POS}")
+
+
+def test_pallas_dp_matches_scan():
+    """The Pallas banded-DP kernel must be cell-identical to the lax.scan
+    reference implementation (interpret mode on CPU)."""
+    from nanomod_tpu.resquiggle.banded import banded_sw
+    from nanomod_tpu.resquiggle.banded_pallas import banded_sw_pallas
+
+    B, M, W = 8, 256, 128
+    rng = np.random.default_rng(0)
+    ref = rng.integers(0, 4, (B, M + W)).astype(np.uint8)
+    read = np.empty((B, M), np.uint8)
+    for b in range(B):
+        read[b] = ref[b, W // 2: W // 2 + M]
+        mut = rng.random(M) < 0.05
+        read[b, mut] = rng.integers(0, 4, mut.sum())
+    lens = np.full(B, M, np.int32)
+    lens[5] = 200
+
+    r_ref = [np.asarray(x) for x in banded_sw(read, ref, lens)]
+    r_pal = [np.asarray(x) for x in banded_sw_pallas(read, ref, lens)]
+    for name, a, b in zip(["tb", "best", "bi", "bk"], r_ref, r_pal):
+        np.testing.assert_array_equal(a, b, err_msg=name)
