@@ -120,19 +120,48 @@ def cmd_simulate(a):
 
 
 def cmd_simulat2(a):
-    from nanomod_tpu.harness.simulate import run_simulat2
+    from nanomod_tpu.harness.simulate import (run_simulat2,
+                                              run_simulat2_sweep,
+                                              summarize_outputs)
     cfg = _sim_cfg(a, percentage=a.Percentage or 0.2)
     if a.runType == 2:
         run_simulat2(cfg)
+    elif a.runType == 1:
+        run_simulat2_sweep(cfg)
     else:
-        print("runType 1/3 sweep: run runType=2 per CaseSize; summaries via "
-              "harness.group_ranks")
+        import glob
+        import os
+        fids = [os.path.basename(p)[:-7] for p in
+                glob.glob(os.path.join(cfg.out_folder, "*.output"))]
+        grouped, labels = summarize_outputs(cfg.out_folder, fids)
+        from nanomod_tpu.harness.plots import plot_rank_histogram
+        plot_rank_histogram(grouped, labels,
+                            os.path.join(cfg.out_folder,
+                                         f"hist_{cfg.file_id}.png"),
+                            xlabel="CaseSize")
 
 
 def cmd_downsampling(a):
-    from nanomod_tpu.harness.simulate import run_downsampling
+    from nanomod_tpu.harness.simulate import (run_downsampling,
+                                              run_downsampling_sweep,
+                                              summarize_outputs)
     cfg = _sim_cfg(a)
-    run_downsampling(cfg)
+    if a.runType == 2:
+        run_downsampling(cfg)
+    elif a.runType == 1:
+        run_downsampling_sweep(cfg)
+    else:
+        import glob
+        import os
+        pref = a.mprefix or cfg.file_id
+        fids = [os.path.basename(p)[:-7] for p in
+                glob.glob(os.path.join(cfg.out_folder, f"{pref}*.output"))]
+        grouped, labels = summarize_outputs(cfg.out_folder, fids)
+        from nanomod_tpu.harness.plots import plot_rank_histogram
+        plot_rank_histogram(grouped, labels,
+                            os.path.join(cfg.out_folder,
+                                         f"hist_{cfg.file_id}.png"),
+                            xlabel="CaseSize")
 
 
 def cmd_annotate(a):

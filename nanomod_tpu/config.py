@@ -104,6 +104,7 @@ class DetectConfig:
     tile_positions: int = 512      # positions per stats tile
     dtype: str = "float32"         # on-device compute dtype
     num_workers: int = 8           # host-side ingest threads
+    native_ingest: bool = True     # C++ FAST5 parser (h5py fallback if absent)
 
 
 @dataclass(frozen=True)

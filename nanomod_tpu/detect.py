@@ -72,17 +72,21 @@ def ingest_group(folder: str, cfg: DetectConfig) -> Dict[Tuple[str, str], Positi
     builder = PoolBuilder()
     files = list(iter_fast5_files(folder))
 
-    def load(path):
-        return read_corrected_events(path)
+    reads = None
+    if cfg.native_ingest:
+        from nanomod_tpu.native.fast5_bind import read_corrected_batch
+        reads = read_corrected_batch(files, nthreads=cfg.num_workers)
+    if reads is None:                          # h5py fallback
+        with ThreadPoolExecutor(max_workers=cfg.num_workers) as ex:
+            reads = list(ex.map(read_corrected_events, files))
 
-    with ThreadPoolExecutor(max_workers=cfg.num_workers) as ex:
-        for rd in ex.map(load, files):
-            if rd is None:
-                continue
-            if not _read_passes_filters(rd, cfg, start_end):
-                continue
-            builder.add_read(rd.chrom, rd.strand, rd.start,
-                             rd.norm_mean, rd.base, pos_filter=pos_filter)
+    for rd in reads:
+        if rd is None:
+            continue
+        if not _read_passes_filters(rd, cfg, start_end):
+            continue
+        builder.add_read(rd.chrom, rd.strand, rd.start,
+                         rd.norm_mean, rd.base, pos_filter=pos_filter)
     if cfg.out_level <= OUTPUT_INFO:
         print(f"Number of files in {folder} is {len(files)}")
     return builder.finalize()

@@ -232,6 +232,64 @@ def _save_output(results: Dict, cfg: SimulateConfig, fmt_key: str):
     open(base + ".done", "w").close()
 
 
+def run_simulat2_sweep(cfg: SimulateConfig, case_sizes=None,
+                       start: int = 1000, step: int = 1000):
+    """runType 1 (ref mySimulat2.py:223-256): sweep CaseSize from `start`
+    by `step` up to the maximum supportable by the control pool at the
+    given percentage.  The reference submits one qsub job per size; here
+    the sizes run in-process (shard `case_sizes` across hosts with
+    parallel.dist.shard_list for multi-host runs)."""
+    case_reads = load_group_reads(cfg.wrk_base2)
+    control_reads = load_group_reads(cfg.wrk_base1)
+    if case_sizes is None:
+        total_control = len(control_reads)
+        max_case = int(total_control * cfg.percentage / (2 - cfg.percentage))
+        case_sizes = list(range(start, max(max_case, start + 1), step))
+    results = {}
+    for cs in case_sizes:
+        sub = replace(cfg, case_size=int(cs),
+                      file_id=f"{cfg.file_id}_{cs}")
+        results[int(cs)] = run_simulat2(sub, case_reads=case_reads,
+                                        control_reads=control_reads)
+    _save_output(results, replace(cfg, file_id=cfg.file_id + "_all"),
+                 fmt_key="%d")
+    return results
+
+
+def run_downsampling_sweep(cfg: SimulateConfig, case_sizes=None):
+    """DownSampling runType 1 (ref myDownSampling0.py:180-188): the fixed
+    CaseSize ladder {60, 80, 100, 200, 400, 1000, 2000, 3000}."""
+    case_sizes = case_sizes or [60, 80, 100, 200, 400, 1000, 2000, 3000]
+    case_reads = load_group_reads(cfg.wrk_base1)
+    control_reads = load_group_reads(cfg.wrk_base2)
+    results = {}
+    for cs in case_sizes:
+        sub = replace(cfg, case_size=int(cs), file_id=f"{cfg.file_id}_{cs}")
+        results[int(cs)] = run_downsampling(sub, case_reads=case_reads,
+                                            control_reads=control_reads)
+    _save_output(results, replace(cfg, file_id=cfg.file_id + "_all"),
+                 fmt_key="%d")
+    return results
+
+
+def summarize_outputs(out_folder: str, file_ids, seqsize: int = 6184 // 3):
+    """runType 3: merge .output files and bin ranks (the reference's merge
+    loop + mplotall, ref mySimulat2.py:282-311,430-586)."""
+    merged = {}
+    for fid in file_ids:
+        path = os.path.join(out_folder, f"{fid}.output")
+        if not os.path.isfile(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                key = float(parts[0])
+                merged.setdefault(key, []).extend(int(x) for x in parts[1:])
+    return group_ranks(merged, seqsize=seqsize)
+
+
 # ---------------------------------------------------------------------------
 # Rank percentile binning (myBinDefault, ref mySimulate.py:32-55)
 # ---------------------------------------------------------------------------

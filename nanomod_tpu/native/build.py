@@ -19,13 +19,18 @@ _LOCK = threading.Lock()
 _CACHE = {}
 
 
+_EXTRA_FLAGS = {
+    "fast5_ingest": ["-lz", "-pthread"],
+}
+
+
 def _build(name: str) -> str:
     src = os.path.join(_DIR, f"{name}.cpp")
     lib = os.path.join(_DIR, f"lib{name}.so")
     if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(src):
         return lib
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", lib, src]
+           "-o", lib, src] + _EXTRA_FLAGS.get(name, [])
     subprocess.run(cmd, check=True, capture_output=True)
     return lib
 

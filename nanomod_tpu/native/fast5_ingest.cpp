@@ -1,0 +1,951 @@
+// Native FAST5 (HDF5) ingest for the detect hot path.
+//
+// A from-scratch, read-only mini-HDF5 parser specialised for FAST5 files:
+// superblock v0/v1/v2/v3, v1/v2 object headers, v1 B-trees + local heaps +
+// symbol-table groups, global heaps (vlen string attributes), compound /
+// fixed / float / string datatypes, contiguous + chunked layouts with
+// deflate and shuffle filters.  No libhdf5 dependency, no global locks —
+// files parse fully in parallel on a std::thread pool (the HDF5 C library
+// is not thread-safe, which is exactly why the reference's h5py ingest
+// (ref bin/scripts/myDetect.py:547-633, myFast5.py:92-126) cannot scale;
+// this reader replaces it for the corrected-events read path).
+//
+// Exposed C API (ctypes): batch read of the NanomoCorrected_000 annotation
+// (ref layout: myRefBaseSignalAnnotation.py:689-742, myCom.py:48-59) from
+// many FAST5s into flat, concatenated column buffers.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <cstdlib>
+#include <string>
+#include <vector>
+#include <thread>
+#include <atomic>
+#include <stdexcept>
+
+#include <zlib.h>
+
+namespace {
+
+typedef uint64_t u64;
+typedef uint32_t u32;
+typedef uint16_t u16;
+typedef uint8_t u8;
+
+const u64 UNDEF = ~0ULL;
+
+struct ParseError : std::runtime_error {
+    explicit ParseError(const char* m) : std::runtime_error(m) {}
+};
+
+// ---------------------------------------------------------------------------
+// Byte-buffer reader (little-endian, bounds-checked)
+// ---------------------------------------------------------------------------
+
+struct Buf {
+    const u8* p;
+    u64 n;
+    u64 get(u64 off, int nbytes) const {
+        if (off + nbytes > n) throw ParseError("read past end of file");
+        u64 v = 0;
+        for (int i = 0; i < nbytes; i++) v |= (u64)p[off + i] << (8 * i);
+        return v;
+    }
+    u8 u8_(u64 off) const { return (u8)get(off, 1); }
+    u16 u16_(u64 off) const { return (u16)get(off, 2); }
+    u32 u32_(u64 off) const { return (u32)get(off, 4); }
+    u64 u64_(u64 off) const { return get(off, 8); }
+    const u8* at(u64 off, u64 len) const {
+        if (off + len > n) throw ParseError("slice past end of file");
+        return p + off;
+    }
+};
+
+struct Super {
+    int sizeoff = 8, sizelen = 8;
+    u64 base = 0;
+    u64 root_header = UNDEF;
+};
+
+u64 rdoff(const Buf& b, u64 off, const Super& s) { return b.get(off, s.sizeoff); }
+u64 rdlen(const Buf& b, u64 off, const Super& s) { return b.get(off, s.sizelen); }
+
+Super read_superblock(const Buf& b) {
+    static const u8 sig[8] = {0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'};
+    // signature may be at 0, 512, 1024, ... (we only check 0 and 512)
+    u64 at = UNDEF;
+    for (u64 cand : {0ULL, 512ULL, 1024ULL, 2048ULL}) {
+        if (cand + 8 <= b.n && memcmp(b.p + cand, sig, 8) == 0) { at = cand; break; }
+    }
+    if (at == UNDEF) throw ParseError("not an HDF5 file");
+    Super s;
+    int ver = b.u8_(at + 8);
+    if (ver == 0 || ver == 1) {
+        s.sizeoff = b.u8_(at + 13);
+        s.sizelen = b.u8_(at + 14);
+        u64 off = at + 24;
+        if (ver == 1) off += 4;
+        s.base = rdoff(b, off, s);
+        off += 4 * s.sizeoff;            // base, freespace, eof, driver info
+        // root group symbol table entry: name offset, object header address
+        off += s.sizeoff;                // link name offset
+        s.root_header = rdoff(b, off, s);
+    } else if (ver == 2 || ver == 3) {
+        s.sizeoff = b.u8_(at + 9);
+        s.sizelen = b.u8_(at + 10);
+        u64 off = at + 12;
+        s.base = rdoff(b, off, s);
+        off += 3 * s.sizeoff;            // base, sb-extension, eof
+        s.root_header = rdoff(b, off, s);
+    } else {
+        throw ParseError("unsupported superblock version");
+    }
+    if (s.sizeoff < 1 || s.sizeoff > 8 || s.sizelen < 1 || s.sizelen > 8)
+        throw ParseError("bad offset/length size");
+    return s;
+}
+
+// ---------------------------------------------------------------------------
+// Datatype / dataspace
+// ---------------------------------------------------------------------------
+
+struct Member {
+    std::string name;
+    u32 offset = 0;
+    int cls = -1;          // 0 fixed, 1 float, 3 string, 9 vlen
+    u32 size = 0;
+    bool signed_ = false;
+};
+
+struct Dtype {
+    int cls = -1;          // HDF5 class
+    u32 size = 0;
+    bool signed_ = false;
+    bool vlen_string = false;
+    std::vector<Member> members;   // compound
+};
+
+// parse a datatype at `off`, advancing `off` past it
+Dtype parse_dtype(const Buf& b, u64& off) {
+    Dtype t;
+    u8 cv = b.u8_(off);
+    int version = cv >> 4;
+    t.cls = cv & 0x0f;
+    u32 bits0 = b.u8_(off + 1) | (b.u8_(off + 2) << 8) | (b.u8_(off + 3) << 16);
+    t.size = b.u32_(off + 4);
+    u64 prop = off + 8;
+    switch (t.cls) {
+        case 0:  // fixed-point: bit offset + precision
+            t.signed_ = (bits0 >> 3) & 1;
+            off = prop + 4;
+            break;
+        case 1:  // float: 12 bytes of properties
+            off = prop + 12;
+            break;
+        case 3:  // string (fixed-length)
+            off = prop;
+            break;
+        case 6: {  // compound
+            int nmembers = bits0 & 0xffff;
+            u64 m = prop;
+            for (int i = 0; i < nmembers; i++) {
+                Member mem;
+                if (version < 3) {
+                    // null-terminated name padded to multiple of 8
+                    const char* nm = (const char*)b.at(m, 1);
+                    u64 maxlen = b.n - m;
+                    u64 l = strnlen(nm, maxlen);
+                    mem.name.assign(nm, l);
+                    m += ((l + 8) / 8) * 8;
+                    mem.offset = b.u32_(m); m += 4;
+                    if (version == 1) {
+                        m += 1 + 3 + 4 + 4 + 16;   // rank/reserved/perm/reserved/dims
+                    }
+                } else {
+                    const char* nm = (const char*)b.at(m, 1);
+                    u64 l = strnlen(nm, b.n - m);
+                    mem.name.assign(nm, l);
+                    m += l + 1;
+                    // byte offset: minimal bytes needed for datatype size
+                    int nb = 1;
+                    u32 sz = t.size;
+                    while (sz > 255) { nb++; sz >>= 8; }
+                    mem.offset = (u32)b.get(m, nb); m += nb;
+                }
+                Dtype sub = parse_dtype(b, m);
+                mem.cls = sub.cls;
+                mem.size = sub.size;
+                mem.signed_ = sub.signed_;
+                t.members.push_back(mem);
+            }
+            off = m;
+            break;
+        }
+        case 9: {  // variable-length
+            u64 m = prop;
+            Dtype base = parse_dtype(b, m);
+            t.vlen_string = ((bits0 & 0x0f) == 1) || base.cls == 3;
+            off = m;
+            break;
+        }
+        default:
+            // skip classes we don't need (time, bitfield, opaque, ref, enum, array)
+            off = prop;
+            break;
+    }
+    return t;
+}
+
+struct Dspace {
+    std::vector<u64> dims;
+    u64 npoints() const {
+        u64 v = 1;
+        for (u64 d : dims) v *= d;
+        return v;
+    }
+};
+
+Dspace parse_dspace(const Buf& b, u64 off, const Super& s) {
+    Dspace d;
+    u8 version = b.u8_(off);
+    if (version == 1) {
+        int nd = b.u8_(off + 1);
+        u64 m = off + 8;
+        for (int i = 0; i < nd; i++) { d.dims.push_back(rdlen(b, m, s)); m += s.sizelen; }
+    } else if (version == 2) {
+        int nd = b.u8_(off + 1);
+        u64 m = off + 4;
+        for (int i = 0; i < nd; i++) { d.dims.push_back(rdlen(b, m, s)); m += s.sizelen; }
+    } else {
+        throw ParseError("unsupported dataspace version");
+    }
+    return d;
+}
+
+// ---------------------------------------------------------------------------
+// Object header messages
+// ---------------------------------------------------------------------------
+
+struct Filter { u16 id; std::vector<u32> cd; };
+
+struct Attr {
+    std::string name;
+    Dtype dtype;
+    Dspace dspace;
+    u64 data_off = 0;      // offset of raw attribute data in file
+};
+
+struct Object {
+    // group side
+    u64 btree = UNDEF, heap = UNDEF;            // v1 symbol-table group
+    std::vector<std::pair<std::string, u64>> links;  // v2 link messages
+    // dataset side
+    Dtype dtype;
+    Dspace dspace;
+    int layout_class = -1;                      // 0 compact, 1 contiguous, 2 chunked
+    u64 data_addr = UNDEF;                      // contiguous addr / chunk btree addr
+    u64 data_size = 0;                          // contiguous size / compact size
+    u64 compact_off = 0;
+    std::vector<u32> chunk_dims;                // incl. trailing element size
+    int chunk_index = 0;                        // 0 = v1 btree; else layout-v4 type
+    u64 single_chunk_size = 0;                  // v4 single-chunk-with-filter
+    std::vector<Filter> filters;
+    std::vector<Attr> attrs;
+    bool has_dspace = false;
+};
+
+void parse_attr_msg(const Buf& b, u64 off, const Super& s, Object& obj) {
+    u8 version = b.u8_(off);
+    u16 name_sz = b.u16_(off + 2);
+    u16 dt_sz = b.u16_(off + 4);
+    u16 ds_sz = b.u16_(off + 6);
+    Attr a;
+    if (version == 1) {
+        u64 m = off + 8;
+        const char* nm = (const char*)b.at(m, name_sz);
+        a.name.assign(nm, strnlen(nm, name_sz));
+        m += ((name_sz + 7) / 8) * 8;
+        u64 dt_off = m;
+        a.dtype = parse_dtype(b, dt_off);
+        m += ((dt_sz + 7) / 8) * 8;
+        a.dspace = parse_dspace(b, m, s);
+        m += ((ds_sz + 7) / 8) * 8;
+        a.data_off = m;
+    } else if (version == 2 || version == 3) {
+        u64 m = off + 8;
+        if (version == 3) m += 1;   // name character-set encoding
+        const char* nm = (const char*)b.at(m, name_sz);
+        a.name.assign(nm, strnlen(nm, name_sz));
+        m += name_sz;
+        u64 dt_off = m;
+        a.dtype = parse_dtype(b, dt_off);
+        m += dt_sz;
+        a.dspace = parse_dspace(b, m, s);
+        m += ds_sz;
+        a.data_off = m;
+    } else {
+        return;  // ignore unknown attribute versions
+    }
+    obj.attrs.push_back(a);
+}
+
+void parse_filter_msg(const Buf& b, u64 off, Object& obj) {
+    u8 version = b.u8_(off);
+    int nf = b.u8_(off + 1);
+    u64 m = off + (version == 1 ? 8 : 2);
+    for (int i = 0; i < nf; i++) {
+        Filter f;
+        f.id = b.u16_(m); m += 2;
+        u16 name_len = 0;
+        if (version == 1 || f.id >= 256) { name_len = b.u16_(m); m += 2; }
+        m += 2;                      // flags
+        u16 ncd = b.u16_(m); m += 2;
+        if (version == 1) m += ((name_len + 7) / 8) * 8;
+        else m += name_len;
+        for (int c = 0; c < ncd; c++) { f.cd.push_back(b.u32_(m)); m += 4; }
+        if (version == 1 && (ncd % 2) == 1) m += 4;  // pad
+        obj.filters.push_back(f);
+    }
+}
+
+void parse_layout_msg(const Buf& b, u64 off, const Super& s, Object& obj) {
+    u8 version = b.u8_(off);
+    if (version == 3) {
+        obj.layout_class = b.u8_(off + 1);
+        u64 m = off + 2;
+        if (obj.layout_class == 0) {          // compact
+            obj.data_size = b.u16_(m); m += 2;
+            obj.compact_off = m;
+        } else if (obj.layout_class == 1) {   // contiguous
+            obj.data_addr = rdoff(b, m, s); m += s.sizeoff;
+            obj.data_size = rdlen(b, m, s);
+        } else if (obj.layout_class == 2) {   // chunked
+            int nd = b.u8_(m); m += 1;
+            obj.data_addr = rdoff(b, m, s); m += s.sizeoff;
+            for (int i = 0; i < nd; i++) { obj.chunk_dims.push_back(b.u32_(m)); m += 4; }
+        }
+    } else if (version == 4) {
+        // v4 (libver 'latest'): per-index-type chunked storage
+        obj.layout_class = b.u8_(off + 1);
+        u64 m = off + 2;
+        if (obj.layout_class == 0) {
+            obj.data_size = b.u16_(m); m += 2;
+            obj.compact_off = m;
+        } else if (obj.layout_class == 1) {
+            obj.data_addr = rdoff(b, m, s); m += s.sizeoff;
+            obj.data_size = rdlen(b, m, s);
+        } else if (obj.layout_class == 2) {
+            u8 flags = b.u8_(m); m += 1;
+            int nd = b.u8_(m); m += 1;      // rank+1 (elem size last), as in v3
+            int enc = b.u8_(m); m += 1;
+            for (int i = 0; i < nd; i++) {
+                obj.chunk_dims.push_back((u32)b.get(m, enc)); m += enc;
+            }
+            obj.chunk_index = b.u8_(m); m += 1;
+            if (obj.chunk_index == 1) {            // single chunk
+                if (flags & 0x02) {                // filtered single chunk
+                    obj.single_chunk_size = rdlen(b, m, s); m += s.sizelen;
+                    m += 4;                        // filter mask
+                }
+            } else if (obj.chunk_index == 3) {     // fixed array
+                m += 1;                            // page bits
+            } else if (obj.chunk_index == 4) {     // extensible array
+                m += 6;
+            } else if (obj.chunk_index == 5) {     // v2 btree
+                m += 6;
+            }
+            obj.data_addr = rdoff(b, m, s);
+        }
+    } else if (version == 1 || version == 2) {
+        int nd = b.u8_(off + 1);
+        obj.layout_class = b.u8_(off + 2);
+        u64 m = off + 8;
+        if (obj.layout_class != 0) { obj.data_addr = rdoff(b, m, s); m += s.sizeoff; }
+        for (int i = 0; i < nd; i++) { obj.chunk_dims.push_back(b.u32_(m)); m += 4; }
+        if (obj.layout_class == 1) obj.data_size = b.u32_(m);
+    } else {
+        throw ParseError("unsupported layout version");
+    }
+}
+
+void parse_link_msg(const Buf& b, u64 off, const Super& s, Object& obj) {
+    u8 version = b.u8_(off);
+    if (version != 1) return;
+    u8 flags = b.u8_(off + 1);
+    u64 m = off + 2;
+    u8 ltype = 0;
+    if (flags & 0x08) { ltype = b.u8_(m); m += 1; }
+    if (flags & 0x04) m += 8;          // creation order
+    if (flags & 0x10) m += 1;          // charset
+    int lsz = 1 << (flags & 0x03);
+    u64 name_len = b.get(m, lsz); m += lsz;
+    const char* nm = (const char*)b.at(m, name_len);
+    std::string name(nm, name_len);
+    m += name_len;
+    if (ltype == 0) obj.links.emplace_back(name, rdoff(b, m, s));
+}
+
+void parse_messages_v1(const Buf& b, const Super& s, u64 off, u64 span, Object& obj,
+                       std::vector<std::pair<u64, u64>>& continuations);
+
+void parse_one_msg(const Buf& b, const Super& s, u16 type, u64 body, Object& obj,
+                   std::vector<std::pair<u64, u64>>& continuations) {
+    switch (type) {
+        case 0x0001: obj.dspace = parse_dspace(b, body, s); obj.has_dspace = true; break;
+        case 0x0003: { u64 m = body; obj.dtype = parse_dtype(b, m); break; }
+        case 0x0006: parse_link_msg(b, body, s, obj); break;
+        case 0x0008: parse_layout_msg(b, body, s, obj); break;
+        case 0x000B: parse_filter_msg(b, body, obj); break;
+        case 0x000C: parse_attr_msg(b, body, s, obj); break;
+        case 0x0010: {
+            u64 coff = rdoff(b, body, s);
+            u64 clen = rdlen(b, body + s.sizeoff, s);
+            continuations.emplace_back(coff, clen);
+            break;
+        }
+        case 0x0011:
+            obj.btree = rdoff(b, body, s);
+            obj.heap = rdoff(b, body + s.sizeoff, s);
+            break;
+        default: break;
+    }
+}
+
+void parse_messages_v1(const Buf& b, const Super& s, u64 off, u64 span, Object& obj,
+                       std::vector<std::pair<u64, u64>>& continuations) {
+    u64 end = off + span;
+    while (off + 8 <= end) {
+        u16 type = b.u16_(off);
+        u16 size = b.u16_(off + 2);
+        u64 body = off + 8;
+        if (body + size > end) break;
+        parse_one_msg(b, s, type, body, obj, continuations);
+        off = body + size;
+    }
+}
+
+Object read_object_header(const Buf& b, const Super& s, u64 addr) {
+    Object obj;
+    std::vector<std::pair<u64, u64>> continuations;
+    addr += s.base;
+    u8 v = b.u8_(addr);
+    if (v == 1) {
+        u64 hsize = b.u32_(addr + 8);
+        parse_messages_v1(b, s, addr + 16, hsize, obj, continuations);
+        for (size_t i = 0; i < continuations.size(); i++) {
+            parse_messages_v1(b, s, continuations[i].first + s.base,
+                              continuations[i].second, obj, continuations);
+        }
+    } else if (memcmp(b.at(addr, 4), "OHDR", 4) == 0) {
+        // version 2 object header
+        u8 flags = b.u8_(addr + 5);
+        u64 m = addr + 6;
+        if (flags & 0x20) m += 16;                // access/mod/change/birth times
+        if (flags & 0x10) m += 4;                 // max compact / min dense attrs
+        int csz = 1 << (flags & 0x03);
+        u64 chunk0 = b.get(m, csz); m += csz;
+        u64 end = m + chunk0;
+        bool track_order = (flags & 0x04) != 0;
+        // messages: type(1), size(2), flags(1), [creation order(2)]
+        std::vector<std::pair<u64, u64>> conts;   // (start,end) of v2 blocks
+        conts.emplace_back(m, end);
+        for (size_t ci = 0; ci < conts.size(); ci++) {
+            u64 o = conts[ci].first, e = conts[ci].second;
+            while (o + 4 <= e) {
+                u8 type = b.u8_(o);
+                u16 size = b.u16_(o + 1);
+                o += 4;
+                if (track_order) o += 2;
+                if (o + size > e) break;
+                if (type == 0x10) {
+                    u64 coff = rdoff(b, o, s) + s.base;
+                    u64 clen = rdlen(b, o + s.sizeoff, s);
+                    // continuation block v2: "OCHK" + messages + 4-byte checksum
+                    if (clen > 8 && memcmp(b.at(coff, 4), "OCHK", 4) == 0)
+                        conts.emplace_back(coff + 4, coff + clen - 4);
+                } else {
+                    std::vector<std::pair<u64, u64>> dummy;
+                    parse_one_msg(b, s, type, o, obj, dummy);
+                    for (auto& d : dummy) {
+                        u64 coff = d.first + s.base;
+                        if (memcmp(b.at(coff, 4), "OCHK", 4) == 0)
+                            conts.emplace_back(coff + 4, coff + d.second - 4);
+                    }
+                }
+                o += size;
+            }
+        }
+    } else {
+        throw ParseError("unsupported object header");
+    }
+    return obj;
+}
+
+// ---------------------------------------------------------------------------
+// Group traversal (v1 symbol tables + v2 link messages)
+// ---------------------------------------------------------------------------
+
+std::string heap_name(const Buf& b, const Super& s, u64 heap_addr, u64 name_off) {
+    u64 h = heap_addr + s.base;
+    if (memcmp(b.at(h, 4), "HEAP", 4) != 0) throw ParseError("bad local heap");
+    u64 data = rdoff(b, h + 8 + 2 * s.sizelen, s) + s.base;
+    const char* nm = (const char*)b.at(data + name_off, 1);
+    return std::string(nm, strnlen(nm, b.n - (data + name_off)));
+}
+
+// search a v1 group btree for a child named `want`; returns header address or UNDEF
+u64 btree_find(const Buf& b, const Super& s, u64 btree_addr, u64 heap_addr,
+               const std::string& want) {
+    u64 t = btree_addr + s.base;
+    if (memcmp(b.at(t, 4), "TREE", 4) != 0) throw ParseError("bad btree");
+    int level = b.u8_(t + 5);
+    int used = b.u16_(t + 6);
+    u64 m = t + 8 + 2 * s.sizeoff;   // skip siblings
+    // keys/children: key0 child0 key1 child1 ... key_used
+    m += s.sizelen;                   // key0
+    for (int i = 0; i < used; i++) {
+        u64 child = rdoff(b, m, s); m += s.sizeoff;
+        m += s.sizelen;               // key_{i+1}
+        if (level > 0) {
+            u64 r = btree_find(b, s, child, heap_addr, want);
+            if (r != UNDEF) return r;
+        } else {
+            u64 snod = child + s.base;
+            if (memcmp(b.at(snod, 4), "SNOD", 4) != 0) throw ParseError("bad SNOD");
+            int nsym = b.u16_(snod + 6);
+            u64 e = snod + 8;
+            for (int k = 0; k < nsym; k++) {
+                u64 name_off = rdoff(b, e, s);
+                u64 hdr = rdoff(b, e + s.sizeoff, s);
+                if (heap_name(b, s, heap_addr, name_off) == want) return hdr;
+                e += 2 * s.sizeoff + 4 + 4 + 16;
+            }
+        }
+    }
+    return UNDEF;
+}
+
+u64 find_child(const Buf& b, const Super& s, const Object& grp, const std::string& name) {
+    if (grp.btree != UNDEF && grp.heap != UNDEF)
+        return btree_find(b, s, grp.btree, grp.heap, name);
+    for (auto& l : grp.links)
+        if (l.first == name) return l.second;
+    return UNDEF;
+}
+
+// resolve a slash path from the root; returns object-header address or UNDEF
+u64 resolve_path(const Buf& b, const Super& s, const char* path) {
+    u64 cur = s.root_header;
+    std::string p(path);
+    size_t i = 0;
+    while (i < p.size()) {
+        while (i < p.size() && p[i] == '/') i++;
+        if (i >= p.size()) break;
+        size_t j = p.find('/', i);
+        if (j == std::string::npos) j = p.size();
+        std::string comp = p.substr(i, j - i);
+        Object grp = read_object_header(b, s, cur);
+        cur = find_child(b, s, grp, comp);
+        if (cur == UNDEF) return UNDEF;
+        i = j;
+    }
+    return cur;
+}
+
+// ---------------------------------------------------------------------------
+// Dataset reading (contiguous / chunked+deflate+shuffle)
+// ---------------------------------------------------------------------------
+
+void unshuffle(std::vector<u8>& data, u32 elem) {
+    if (elem <= 1 || data.size() % elem) return;
+    u64 cnt = data.size() / elem;
+    std::vector<u8> out(data.size());
+    for (u32 e = 0; e < elem; e++)
+        for (u64 i = 0; i < cnt; i++)
+            out[i * elem + e] = data[e * cnt + i];
+    data.swap(out);
+}
+
+bool inflate_buf(const u8* src, u64 srclen, std::vector<u8>& dst) {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit(&zs) != Z_OK) return false;
+    zs.next_in = const_cast<u8*>(src);
+    zs.avail_in = (uInt)srclen;
+    zs.next_out = dst.data();
+    zs.avail_out = (uInt)dst.size();
+    int rc = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    return rc == Z_STREAM_END || (rc == Z_OK && zs.avail_out == 0);
+}
+
+void decode_chunk(const Buf& b, const Super& s, const Object& obj,
+                  u64 addr, u64 stored, u32 fmask,
+                  std::vector<u8>& out, u64 dst_off, u64 chunk_bytes,
+                  u64 total_bytes);
+
+// walk a v1 chunk btree, copying decompressed chunks into `out`
+void read_chunks(const Buf& b, const Super& s, const Object& obj, u64 node_addr,
+                 std::vector<u8>& out, u64 total_bytes) {
+    u64 t = node_addr + s.base;
+    if (memcmp(b.at(t, 4), "TREE", 4) != 0) throw ParseError("bad chunk btree");
+    int level = b.u8_(t + 5);
+    int used = b.u16_(t + 6);
+    int nd = (int)obj.chunk_dims.size();       // ndims+1 (elem size last)
+    u64 keysz = 4 + 4 + 8ULL * nd;
+    u64 m = t + 8 + 2 * s.sizeoff;
+    u32 elem = obj.chunk_dims.back();
+    u64 chunk_rows = 1;
+    for (int i = 0; i + 1 < nd; i++) chunk_rows *= obj.chunk_dims[i];
+    u64 chunk_bytes = chunk_rows * elem;
+
+    for (int i = 0; i < used; i++) {
+        u64 key = m;                            // key i
+        u64 child = rdoff(b, m + keysz, s);
+        m += keysz + s.sizeoff;
+        if (level > 0) {
+            read_chunks(b, s, obj, child, out, total_bytes);
+            continue;
+        }
+        u32 stored = b.u32_(key);
+        u32 fmask = b.u32_(key + 4);
+        // chunk offset in dataset space (first dim only — FAST5 data is 1-D)
+        u64 off0 = b.u64_(key + 8);
+        decode_chunk(b, s, obj, child, stored, fmask, out, off0 * elem,
+                     chunk_bytes, total_bytes);
+    }
+}
+
+// decode one filtered/unfiltered chunk into out[dst_off : dst_off+want]
+void decode_chunk(const Buf& b, const Super& s, const Object& obj,
+                  u64 addr, u64 stored, u32 fmask,
+                  std::vector<u8>& out, u64 dst_off, u64 chunk_bytes,
+                  u64 total_bytes) {
+    if (dst_off >= total_bytes) return;
+    u64 want = std::min(chunk_bytes, total_bytes - dst_off);
+    const u8* src = b.at(addr + s.base, stored);
+    std::vector<u8> tmp(chunk_bytes);
+    bool deflated = false, shuffled = false;
+    for (size_t fi = 0; fi < obj.filters.size(); fi++) {
+        if ((fmask >> fi) & 1) continue;
+        if (obj.filters[fi].id == 1) deflated = true;
+        if (obj.filters[fi].id == 2) shuffled = true;
+    }
+    if (deflated) {
+        if (!inflate_buf(src, stored, tmp)) throw ParseError("inflate failed");
+    } else {
+        if (stored > chunk_bytes) throw ParseError("chunk too large");
+        memcpy(tmp.data(), src, stored);
+    }
+    if (shuffled) unshuffle(tmp, obj.chunk_dims.back());
+    memcpy(out.data() + dst_off, tmp.data(), want);
+}
+
+// v4 fixed-array index ("FAHD" header + "FADB" data block), non-paged
+void read_fixed_array(const Buf& b, const Super& s, const Object& obj,
+                      std::vector<u8>& out, u64 chunk_bytes, u64 total_bytes) {
+    u64 h = obj.data_addr + s.base;
+    if (memcmp(b.at(h, 4), "FAHD", 4) != 0) throw ParseError("bad fixed array");
+    int client = b.u8_(h + 5);                  // 0 = chunks, 1 = filtered chunks
+    int entry_size = b.u8_(h + 6);
+    int page_bits = b.u8_(h + 7);
+    u64 nentries = rdlen(b, h + 8, s);
+    u64 db = rdoff(b, h + 8 + s.sizelen, s) + s.base;
+    if (memcmp(b.at(db, 4), "FADB", 4) != 0) throw ParseError("bad FA data block");
+    u64 m = db + 6 + s.sizeoff;                 // sig+ver+client+header addr
+    if (nentries > (1ULL << page_bits))
+        throw ParseError("paged fixed array unsupported");
+    for (u64 i = 0; i < nentries; i++) {
+        u64 addr = rdoff(b, m, s);
+        u64 stored = chunk_bytes;
+        u32 fmask = 0;
+        if (client == 1) {
+            int szlen = entry_size - s.sizeoff - 4;
+            stored = b.get(m + s.sizeoff, szlen);
+            fmask = b.u32_(m + s.sizeoff + szlen);
+        }
+        m += entry_size;
+        if (addr == UNDEF || addr + s.base >= b.n) continue;
+        decode_chunk(b, s, obj, addr, stored, fmask, out,
+                     i * chunk_bytes, chunk_bytes, total_bytes);
+    }
+}
+
+// read full dataset raw bytes (row-major, element size = dtype size)
+std::vector<u8> read_dataset(const Buf& b, const Super& s, const Object& obj) {
+    u64 nbytes = obj.dspace.npoints() * obj.dtype.size;
+    std::vector<u8> out(nbytes);
+    if (obj.layout_class == 1) {                 // contiguous
+        if (obj.data_addr == UNDEF) return out;  // unallocated → zeros
+        memcpy(out.data(), b.at(obj.data_addr + s.base, nbytes), nbytes);
+    } else if (obj.layout_class == 2) {          // chunked
+        if (obj.data_addr == UNDEF) return out;
+        u32 elem = obj.chunk_dims.back();
+        u64 chunk_rows = 1;
+        for (size_t i = 0; i + 1 < obj.chunk_dims.size(); i++)
+            chunk_rows *= obj.chunk_dims[i];
+        u64 chunk_bytes = chunk_rows * elem;
+        switch (obj.chunk_index) {
+            case 0:                              // v1 btree
+                read_chunks(b, s, obj, obj.data_addr, out, nbytes);
+                break;
+            case 1: {                            // single chunk
+                u64 stored = obj.single_chunk_size ? obj.single_chunk_size
+                                                   : chunk_bytes;
+                decode_chunk(b, s, obj, obj.data_addr, stored, 0, out, 0,
+                             chunk_bytes, nbytes);
+                break;
+            }
+            case 2: {                            // implicit: contiguous chunks
+                u64 nchunks = (nbytes + chunk_bytes - 1) / chunk_bytes;
+                for (u64 i = 0; i < nchunks; i++)
+                    decode_chunk(b, s, obj, obj.data_addr + i * chunk_bytes,
+                                 chunk_bytes, 0, out, i * chunk_bytes,
+                                 chunk_bytes, nbytes);
+                break;
+            }
+            case 3:                              // fixed array
+                read_fixed_array(b, s, obj, out, chunk_bytes, nbytes);
+                break;
+            default:
+                throw ParseError("unsupported chunk index type");
+        }
+    } else if (obj.layout_class == 0) {          // compact
+        memcpy(out.data(), b.at(obj.compact_off, obj.data_size),
+               std::min(nbytes, obj.data_size));
+    } else {
+        throw ParseError("no layout");
+    }
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// Attribute value extraction
+// ---------------------------------------------------------------------------
+
+std::string attr_string(const Buf& b, const Super& s, const Attr& a) {
+    if (a.dtype.cls == 3) {
+        const char* v = (const char*)b.at(a.data_off, a.dtype.size);
+        return std::string(v, strnlen(v, a.dtype.size));
+    }
+    if (a.dtype.cls == 9 && a.dtype.vlen_string) {
+        u32 len = b.u32_(a.data_off);
+        u64 gcol = rdoff(b, a.data_off + 4, s) + s.base;
+        u32 idx = b.u32_(a.data_off + 4 + s.sizeoff);
+        if (memcmp(b.at(gcol, 4), "GCOL", 4) != 0) throw ParseError("bad global heap");
+        u64 m = gcol + 8 + s.sizelen;
+        u64 end = gcol + rdlen(b, gcol + 8, s);
+        while (m + 8 + s.sizelen <= end) {
+            u16 oi = b.u16_(m);
+            u64 osz = rdlen(b, m + 8, s);
+            u64 data = m + 8 + s.sizelen;
+            if (oi == idx) {
+                const char* v = (const char*)b.at(data, osz);
+                return std::string(v, std::min<u64>(len, osz));
+            }
+            if (oi == 0) break;
+            m = data + ((osz + 7) / 8) * 8;
+        }
+        throw ParseError("global heap object not found");
+    }
+    throw ParseError("attribute is not a string");
+}
+
+int64_t attr_int(const Buf& b, const Attr& a) {
+    if (a.dtype.cls != 0) throw ParseError("attribute is not an integer");
+    u64 raw = b.get(a.data_off, (int)a.dtype.size);
+    if (a.dtype.signed_ && a.dtype.size < 8) {
+        u64 sign = 1ULL << (8 * a.dtype.size - 1);
+        if (raw & sign) raw |= ~((sign << 1) - 1);
+    }
+    return (int64_t)raw;
+}
+
+const Attr* find_attr(const Object& o, const char* name) {
+    for (auto& a : o.attrs)
+        if (a.name == name) return &a;
+    return nullptr;
+}
+
+// ---------------------------------------------------------------------------
+// Corrected-read extraction (the detect ingest payload)
+// ---------------------------------------------------------------------------
+
+struct CorrectedRead {
+    bool ok = false;
+    std::string err;
+    std::string chrom;
+    int64_t map_start = 0;
+    char strand = '+';
+    // column arrays, length n
+    std::vector<double> norm_mean, norm_stdev;
+    std::vector<u32> ev_start, ev_length;
+    std::vector<char> base;
+};
+
+void extract_field(const std::vector<u8>& rows, u64 n, u32 stride,
+                   const Member& m, double* out) {
+    for (u64 i = 0; i < n; i++) {
+        const u8* p = rows.data() + i * stride + m.offset;
+        if (m.cls == 1 && m.size == 8) { double v; memcpy(&v, p, 8); out[i] = v; }
+        else if (m.cls == 1 && m.size == 4) { float v; memcpy(&v, p, 4); out[i] = v; }
+        else if (m.cls == 0) {
+            u64 raw = 0;
+            for (u32 k = 0; k < m.size && k < 8; k++) raw |= (u64)p[k] << (8 * k);
+            out[i] = (double)raw;
+        }
+    }
+}
+
+CorrectedRead parse_corrected(const u8* data, u64 size) {
+    CorrectedRead r;
+    try {
+        Buf b{data, size};
+        Super s = read_superblock(b);
+        u64 al_addr = resolve_path(
+            b, s, "Analyses/NanomoCorrected_000/BaseCalled_template/Alignment");
+        u64 ev_addr = resolve_path(
+            b, s, "Analyses/NanomoCorrected_000/BaseCalled_template/Events");
+        if (al_addr == UNDEF || ev_addr == UNDEF) {
+            r.err = "no corrected group";
+            return r;
+        }
+        Object al = read_object_header(b, s, al_addr);
+        const Attr* ac = find_attr(al, "mapped_chrom");
+        const Attr* as = find_attr(al, "mapped_start");
+        const Attr* at = find_attr(al, "mapped_strand");
+        if (!ac || !as || !at) { r.err = "missing mapping attrs"; return r; }
+        r.chrom = attr_string(b, s, *ac);
+        r.map_start = attr_int(b, *as);
+        std::string st = attr_string(b, s, *at);
+        r.strand = st.empty() ? '+' : st[0];
+
+        Object ev = read_object_header(b, s, ev_addr);
+        if (ev.dtype.cls != 6 || !ev.has_dspace) { r.err = "bad events dataset"; return r; }
+        u64 n = ev.dspace.npoints();
+        std::vector<u8> rows = read_dataset(b, s, ev);
+        u32 stride = ev.dtype.size;
+
+        r.norm_mean.resize(n); r.norm_stdev.resize(n);
+        r.ev_start.resize(n); r.ev_length.resize(n); r.base.resize(n);
+        std::vector<double> tmp(n);
+        for (auto& m : ev.dtype.members) {
+            if (m.name == "norm_mean") extract_field(rows, n, stride, m, r.norm_mean.data());
+            else if (m.name == "norm_stdev") extract_field(rows, n, stride, m, r.norm_stdev.data());
+            else if (m.name == "start") {
+                extract_field(rows, n, stride, m, tmp.data());
+                for (u64 i = 0; i < n; i++) r.ev_start[i] = (u32)tmp[i];
+            } else if (m.name == "length") {
+                extract_field(rows, n, stride, m, tmp.data());
+                for (u64 i = 0; i < n; i++) r.ev_length[i] = (u32)tmp[i];
+            } else if (m.name == "base") {
+                for (u64 i = 0; i < n; i++)
+                    r.base[i] = (char)rows[i * stride + m.offset];
+            }
+        }
+        r.ok = true;
+    } catch (const std::exception& e) {
+        r.err = e.what();
+        r.ok = false;
+    }
+    return r;
+}
+
+CorrectedRead parse_corrected_file(const char* path) {
+    CorrectedRead r;
+    FILE* f = fopen(path, "rb");
+    if (!f) { r.err = "cannot open"; return r; }
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<u8> buf(sz > 0 ? sz : 0);
+    if (sz > 0 && fread(buf.data(), 1, sz, f) != (size_t)sz) {
+        fclose(f);
+        r.err = "short read";
+        return r;
+    }
+    fclose(f);
+    return parse_corrected(buf.data(), buf.size());
+}
+
+// ---------------------------------------------------------------------------
+// Batch API (ctypes surface)
+// ---------------------------------------------------------------------------
+
+struct Batch {
+    std::vector<CorrectedRead> reads;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Read n FAST5 files on `nthreads` threads.  Returns an opaque handle.
+void* f5_batch_read(const char** paths, int64_t n, int nthreads) {
+    Batch* batch = new Batch();
+    batch->reads.resize(n);
+    if (nthreads < 1) nthreads = 1;
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n) break;
+            batch->reads[i] = parse_corrected_file(paths[i]);
+        }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < nthreads; t++) ts.emplace_back(worker);
+    worker();
+    for (auto& t : ts) t.join();
+    return batch;
+}
+
+// Per-file event counts (-1 = failed/missing) into n-length array; returns
+// total events over successful files.
+int64_t f5_batch_sizes(void* h, int64_t* n_events) {
+    Batch* b = (Batch*)h;
+    int64_t total = 0;
+    for (size_t i = 0; i < b->reads.size(); i++) {
+        if (b->reads[i].ok) {
+            n_events[i] = (int64_t)b->reads[i].norm_mean.size();
+            total += n_events[i];
+        } else {
+            n_events[i] = -1;
+        }
+    }
+    return total;
+}
+
+// Fill caller-allocated buffers.  Event columns are concatenated over
+// successful files in order; offsets[i] gives each file's slice start
+// (offsets has n+1 entries).  chroms is n*64 bytes (NUL-padded).
+void f5_batch_fill(void* h, double* norm_mean, double* norm_stdev,
+                   uint32_t* ev_start, uint32_t* ev_length, char* base,
+                   int64_t* offsets, int64_t* map_start, char* strands,
+                   char* chroms) {
+    Batch* b = (Batch*)h;
+    int64_t off = 0;
+    for (size_t i = 0; i < b->reads.size(); i++) {
+        offsets[i] = off;
+        CorrectedRead& r = b->reads[i];
+        map_start[i] = r.ok ? r.map_start : -1;
+        strands[i] = r.ok ? r.strand : '?';
+        memset(chroms + i * 64, 0, 64);
+        if (!r.ok) continue;
+        size_t cl = std::min<size_t>(r.chrom.size(), 63);
+        memcpy(chroms + i * 64, r.chrom.data(), cl);
+        int64_t n = (int64_t)r.norm_mean.size();
+        memcpy(norm_mean + off, r.norm_mean.data(), n * sizeof(double));
+        memcpy(norm_stdev + off, r.norm_stdev.data(), n * sizeof(double));
+        memcpy(ev_start + off, r.ev_start.data(), n * sizeof(uint32_t));
+        memcpy(ev_length + off, r.ev_length.data(), n * sizeof(uint32_t));
+        memcpy(base + off, r.base.data(), n);
+        off += n;
+    }
+    offsets[b->reads.size()] = off;
+}
+
+void f5_batch_free(void* h) { delete (Batch*)h; }
+
+}  // extern "C"

@@ -1,11 +1,19 @@
 """Pallas TPU kernel for the banded affine-gap aligner.
 
 Same recurrences as banded.banded_sw (see that module for the math and the
-closed-form deletion recurrence), but with the whole row loop fused into a
-single on-chip kernel: 8 reads per program ride the sublane dimension, the
-band rides the lanes, and carries (H/F rows, best-cell trackers) live in
-VMEM scratch across a sequential row-chunk grid — no per-row XLA loop
-overhead and no HBM traffic for the carries.
+closed-form deletion recurrence), implemented as a Mosaic kernel:
+
+  * grid = (reads/8, M/ROWS_PER_STEP): 8 reads ride the sublane axis, the
+    band rides the lanes, and rows advance ROWS_PER_STEP at a time along the
+    sequential minor grid axis with a statically-unrolled inner loop (Mosaic
+    block shapes must be (8, 128)-aligned, which also rules out
+    sliding-window lane slices);
+  * substitution scores arrive pre-skewed and pre-scored from one XLA
+    gather+compare (sub[b, i, k] = score(read[b,i], ref[b,i+k]));
+  * H/F carry rows and best-cell trackers live in VMEM scratch across grid
+    steps — no XLA loop overhead, no HBM carry traffic;
+  * the intra-row deletion recurrence uses the closed form via a
+    doubling-shift running max.
 
 Traceback codes stream out as int32 blocks (cast to uint8 by the wrapper).
 The lax.scan implementation remains the reference; tests compare them
@@ -24,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9   # python float: folds to an immediate in the kernel
 READS_PER_PROG = 8
-ROW_CHUNK = 128
+ROWS_PER_STEP = 32
 
 
 def _shift_left_lanes(x, fill):
@@ -52,8 +60,8 @@ def _cummax_lanes(x):
     return x
 
 
-def _kernel(read_ref, ref_ref, len_ref, tb_ref, best_ref, bi_ref, bk_ref,
-            h_s, f_s, best_s, bi_s, bk_s, *, w, m, match, mismatch, go, ge):
+def _kernel(sub_ref, len_ref, tb_ref, best_ref, bi_ref, bk_ref,
+            h_s, f_s, best_s, bi_s, bk_s, *, w, go, ge):
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
 
@@ -67,15 +75,11 @@ def _kernel(read_ref, ref_ref, len_ref, tb_ref, best_ref, bi_ref, bk_ref,
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (READS_PER_PROG, w), 1)
     karange = lanes.astype(jnp.float32)
-    read_len = len_ref[:]                       # [8, 1] int32
+    read_len = len_ref[:]                        # [8, 1] int32
 
-    def row_step(r, _):
-        row = j * ROW_CHUNK + r
-        rc = read_ref[:, pl.ds(row, 1)]          # [8, 1] int32
-        refrow = ref_ref[:, pl.ds(row, w)]       # [8, W] int32
-
-        is_match = (refrow == rc) & (rc < 4) & (refrow < 4)
-        sub = jnp.where(is_match, jnp.float32(match), jnp.float32(mismatch))
+    for r in range(ROWS_PER_STEP):               # static unroll
+        row = j * ROWS_PER_STEP + r
+        sub = sub_ref[:, r, :]                   # [8, W] f32
 
         h_prev = h_s[:]
         f_prev = f_s[:]
@@ -104,7 +108,7 @@ def _kernel(read_ref, ref_ref, len_ref, tb_ref, best_ref, bi_ref, bk_ref,
                 | (e_ext.astype(jnp.int32) << 2)
                 | (f_ext.astype(jnp.int32) << 3))
 
-        tb_ref[:, pl.ds(r, 1), :] = bits[:, None, :]
+        tb_ref[:, r, :] = bits
 
         # best-cell tracking (first max lane, matching jnp.argmax)
         row_best = jnp.max(h_cur, axis=1, keepdims=True)          # [8, 1]
@@ -117,9 +121,6 @@ def _kernel(read_ref, ref_ref, len_ref, tb_ref, best_ref, bi_ref, bk_ref,
 
         h_s[:] = h_cur
         f_s[:] = f_cur
-        return 0
-
-    jax.lax.fori_loop(0, ROW_CHUNK, row_step, 0)
 
     @pl.when(j == n_j - 1)
     def _():
@@ -134,35 +135,39 @@ def banded_sw_pallas(read_codes, ref_window_codes, read_len, *,
     """Pallas drop-in for banded.banded_sw (same outputs).
 
     read_codes [B, M] uint8, ref_window_codes [B, M + W] uint8,
-    read_len [B] int32; B must be a multiple of 8 and M of 128 (the batch
-    builder pads to these).
+    read_len [B] int32; B must be a multiple of 8 and M of 8.
     """
     bsz, m = read_codes.shape
     w = ref_window_codes.shape[1] - m
-    assert bsz % READS_PER_PROG == 0 and m % ROW_CHUNK == 0
+    assert bsz % READS_PER_PROG == 0 and m % ROWS_PER_STEP == 0
 
     read_i = read_codes.astype(jnp.int32)
     ref_i = ref_window_codes.astype(jnp.int32)
     len_i = read_len.astype(jnp.int32)[:, None]
 
-    grid = (bsz // READS_PER_PROG, m // ROW_CHUNK)
-    kernel = partial(_kernel, w=w, m=m, match=float(match),
-                     mismatch=float(mismatch), go=float(go), ge=float(ge))
+    # pre-skewed, pre-scored substitutions (one XLA gather + compare):
+    # sub[b, i, k] = score(read[b, i], ref[b, i + k])
+    idx = jnp.arange(m)[:, None] + jnp.arange(w)[None, :]          # [M, W]
+    refskew = jnp.take(ref_i, idx, axis=1)                         # [B, M, W]
+    rc = read_i[:, :, None]
+    is_match = (refskew == rc) & (rc < 4) & (refskew < 4)
+    sub = jnp.where(is_match, jnp.float32(match), jnp.float32(mismatch))
+
+    grid = (bsz // READS_PER_PROG, m // ROWS_PER_STEP)
+    kernel = partial(_kernel, w=w, go=float(go), ge=float(ge))
     interpret = jax.default_backend() == "cpu"
 
     tb, best, bi, bk = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((READS_PER_PROG, m), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((READS_PER_PROG, m + w), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((READS_PER_PROG, ROWS_PER_STEP, w),
+                         lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((READS_PER_PROG, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((READS_PER_PROG, ROW_CHUNK, w),
+            pl.BlockSpec((READS_PER_PROG, ROWS_PER_STEP, w),
                          lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((READS_PER_PROG, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -185,6 +190,6 @@ def banded_sw_pallas(read_codes, ref_window_codes, read_len, *,
             pltpu.VMEM((READS_PER_PROG, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(read_i, ref_i, len_i)
+    )(sub, len_i)
 
     return (tb.astype(jnp.uint8), best[:, 0], bi[:, 0], bk[:, 0])

@@ -100,8 +100,8 @@ def align_batch(reads: List[PreparedRead], fasta: FastaIndex,
     ops (or None for failed alignments)."""
     if not reads:
         return []
-    import jax as _jax
-    use_pallas = cfg.use_pallas_dp and _jax.default_backend() != "cpu"
+    from nanomod_tpu.platform import pallas_supported
+    use_pallas = cfg.use_pallas_dp and pallas_supported()
     w = cfg.band_width
     m = _length_bucket(max(len(r.fwd_seq) for r in reads))
     bsz = len(reads)
