@@ -57,36 +57,35 @@ def _capacity_bucket(c: int) -> int:
     return 1 << (c - 1).bit_length()
 
 
-def _milli_exact(values: np.ndarray) -> bool:
-    """True when every value is an exact multiple of 0.001 within int16
-    range — the system-wide 3-decimal rounding invariant — so pools can be
-    shipped as half-size int16 without changing any statistic."""
-    if values.size == 0:
-        return False
-    with np.errstate(invalid="ignore"):
-        scaled = values.astype(np.float64) * 1000.0
-        return bool(
-            np.nanmax(np.abs(scaled), initial=0.0) < 32767.0
-            and np.all(np.abs(scaled - np.round(scaled)) < 0.01)
-        )
-
-
-def _tile_slice(values, counts, lo, hi, cap, p_tile, as_int16=False):
+def _tile_slice(values, counts, lo, hi, cap, p_tile):
     """[p_tile, cap] tile + [p_tile] i32 counts (content beyond counts is
-    ignored by the device kernel).  With as_int16, values are shipped as
-    exact milli-encoded int16 (half the transfer bytes; see
-    kernels.battery_components)."""
+    ignored by the device kernel).
+
+    When every value in the tile is an exact multiple of 0.001 within int16
+    range — the system-wide 3-decimal rounding invariant (ref
+    myRefBaseSignalAnnotation.py:259) — the tile is encoded as int16 milli
+    values (value*1000): an exact, order/tie-preserving HALF-size wire
+    format for the slow tunneled host->HBM link.  A tile that fails the
+    exactness check (e.g. NaN padding, out-of-range values) ships as plain
+    f32; the device kernel accepts either.  Doing the check per tile (not
+    over the whole pool array up front) keeps it fused with the slice copy
+    and overlapped with the async device dispatch of earlier tiles."""
     w = min(cap, values.shape[1])
-    if as_int16:
-        v = np.zeros((p_tile, cap), dtype=np.int16)
-        v[: hi - lo, :w] = np.round(
-            values[lo:hi, :w].astype(np.float64) * 1000.0
-        ).astype(np.int16)
-    else:
-        v = np.zeros((p_tile, cap), dtype=np.float32)
-        v[: hi - lo, :w] = values[lo:hi, :w]
     c = np.zeros(p_tile, dtype=np.int32)
     c[: hi - lo] = np.minimum(counts[lo:hi], cap)
+    chunk = values[lo:hi, :w]
+    if chunk.dtype != np.int16:
+        with np.errstate(invalid="ignore"):
+            scaled = chunk * np.float32(1000.0)
+            r = np.rint(scaled)
+            exact = bool(np.abs(scaled).max(initial=0.0) < 32767.0) and bool(
+                (np.abs(scaled - r) < 0.01).all())
+        if exact:
+            chunk = r.astype(np.int16)
+    if hi - lo == p_tile and w == cap:
+        return np.ascontiguousarray(chunk), c
+    v = np.zeros((p_tile, cap), dtype=chunk.dtype)
+    v[: hi - lo, :w] = chunk
     return v, c
 
 
@@ -113,27 +112,42 @@ def run_battery(
     }
     mstd = np.empty((p_total, 4), dtype=np.float64) if want_mstd else None
     cov = int(cfg.coverages[0 if strand == "+" else 1])
-    as_int16 = _milli_exact(values1) and _milli_exact(values2)
 
     # phase A: transfer + launch every tile asynchronously (device dispatch
     # is async; fetching later pipelines H2D, compute and D2H and amortizes
-    # per-call link latency on tunneled chips)
-    pending = []
-    for lo in range(0, p_total, tile_positions):
-        hi = min(lo + tile_positions, p_total)
+    # per-call link latency on tunneled chips).  Tile encode (milli-int16
+    # rounding + pad copy) runs in a small thread pool — numpy ufuncs
+    # release the GIL, so encoding tile i+1 overlaps the H2D of tile i.
+    ranges = [(lo, min(lo + tile_positions, p_total))
+              for lo in range(0, p_total, tile_positions)]
+
+    def encode(rg):
+        """Encode one tile AND push it to the device — device_put from the
+        worker threads lets tile transfers overlap each other and the
+        dispatch of earlier tiles' kernels on link-latency-bound backends."""
+        lo, hi = rg
         n1 = counts1[lo:hi].astype(np.int32)
         n2 = counts2[lo:hi].astype(np.int32)
         c1 = _capacity_bucket(int(n1.max(initial=1)))
         c2 = _capacity_bucket(int(n2.max(initial=1)))
         p_tile = _round_up(hi - lo, 8)
+        v1, cn1 = _tile_slice(values1, counts1, lo, hi, c1, p_tile)
+        v2, cn2 = _tile_slice(values2, counts2, lo, hi, c2, p_tile)
+        return (lo, hi, n1, n2,
+                jnp.asarray(v1), jnp.asarray(np.maximum(cn1, 1)),
+                jnp.asarray(v2), jnp.asarray(np.maximum(cn2, 1)))
 
-        v1, cn1 = _tile_slice(values1, counts1, lo, hi, c1, p_tile, as_int16)
-        v2, cn2 = _tile_slice(values2, counts2, lo, hi, c2, p_tile, as_int16)
-        cn1d = jnp.asarray(np.maximum(cn1, 1))
-        cn2d = jnp.asarray(np.maximum(cn2, 1))
-        v1d = jnp.asarray(v1)
-        v2d = jnp.asarray(v2)
-        comp_dev = kernels.battery_components(v1d, cn1d, v2d, cn2d)
+    if len(ranges) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(min(4, len(ranges)))
+        encoded = pool.map(encode, ranges)
+    else:
+        pool = None
+        encoded = map(encode, ranges)
+
+    pending = []
+    for lo, hi, n1, n2, v1d, cn1d, v2d, cn2d in encoded:
+        comp_dev = kernels.battery_components_packed(v1d, cn1d, v2d, cn2d)
 
         cap_dev = None
         if cov > 0 and bool(((n1 > cov) | (n2 > cov)).any()):
@@ -143,11 +157,22 @@ def run_battery(
                 cov=cov, repeats=cfg.downsampling, quantile_idx=q_idx,
                 seed=cfg.downsampling_seed + lo)
         pending.append((lo, hi, n1, n2, comp_dev, cap_dev))
+    if pool is not None:
+        pool.shutdown(wait=False)
 
     # phase B: fetch + host float64 finalization
     for lo, hi, n1, n2, comp_dev, cap_dev in pending:
         sl = slice(0, hi - lo)
-        comp = {k: np.asarray(v)[sl] for k, v in comp_dev.items()}
+        packed = np.asarray(comp_dev)   # ONE D2H fetch per tile
+        comp = {
+            "ks_d": packed[0][sl],
+            "two_rank_sum": packed[1].view(np.int32)[sl],
+            "tie_sum": packed[2][sl],
+            "mean1": packed[3][sl],
+            "ss1": packed[4][sl],
+            "mean2": packed[5][sl],
+            "ss2": packed[6][sl],
+        }
 
         n1f = n1.astype(np.float64)
         n2f = n2.astype(np.float64)

@@ -118,6 +118,21 @@ def battery_components(values1, counts1, values2, counts2):
 
 
 @jax.jit
+def battery_components_packed(values1, counts1, values2, counts2):
+    """battery_components with all 7 per-position outputs stacked into ONE
+    [7, P] f32 array so the host pays a single D2H round-trip per tile
+    (the tunneled-chip link is latency-bound; 7 small fetches cost ~7x one).
+    Row 1 (two_rank_sum) is the exact int32, bitcast to f32 for the pack —
+    the host views it back with ``.view(np.int32)``.
+    Row order: ks_d, two_rank_sum, tie_sum, mean1, ss1, mean2, ss2.
+    """
+    c = battery_components.__wrapped__(values1, counts1, values2, counts2)
+    trs_f = jax.lax.bitcast_convert_type(c["two_rank_sum"], jnp.float32)
+    return jnp.stack([c["ks_d"], trs_f, c["tie_sum"],
+                      c["mean1"], c["ss1"], c["mean2"], c["ss2"]])
+
+
+@jax.jit
 def pooled_rank_components(z, lab, n1, n2):
     """Rank/KS components from a pre-pooled, pre-sorted-padding layout:
     z [P, N] f32 with +inf pads, lab [P, N] f32 (1.0 = group 1), n1/n2 [P]
