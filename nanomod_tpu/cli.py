@@ -79,6 +79,7 @@ def cmd_detect(a):
         stats=_stat_cfg(a, a.coverages), rank=_rank_cfg(a),
         min_lr=a.min_lr, min_lr_nb=a.min_lr_nb, mstd=bool(a.mstd),
         save_test=bool(a.SaveTest), plot_type=a.plotType, make_plots=True,
+        metrics_file=a.metricsFile or None, profile_dir=a.profileDir or None,
     )
     if a.Pos:
         parts = a.Pos.split(":")
@@ -174,7 +175,8 @@ def cmd_annotate(a):
         min_num_signal=a.MinNumSignal,
         threads=a.threads, files_per_thread=a.files_per_thread,
         basecall_1d=a.basecall_1d, basecall_2strand=a.basecall_2strand,
-        recursive=bool(a.recursive),
+        recursive=bool(a.recursive), resume=bool(a.resume),
+        metrics_file=a.metricsFile or None,
     )
     annotate_folder(cfg)
 
@@ -197,6 +199,10 @@ def build_parser():
     p.add_argument("--downsampling_quantile", type=float, default=0.25)
     p.add_argument("--downsampling", type=int, default=100)
     p.add_argument("--coverages", type=str, default="0-0")
+    p.add_argument("--metricsFile", default="",
+                   help="write per-stage timing/throughput JSON here")
+    p.add_argument("--profileDir", default="",
+                   help="jax.profiler trace dir (XProf/TensorBoard)")
     p.set_defaults(func=cmd_detect)
 
     p = sub.add_parser("simulate", help="percentage-mixing simulation")
@@ -237,6 +243,10 @@ def build_parser():
     p.add_argument("--recursive", type=int, default=1, choices=[0, 1])
     p.add_argument("--alignStr", type=str, default="dp",
                    choices=["dp", "bwa", "minimap2"])
+    p.add_argument("--resume", type=int, default=0, choices=[0, 1],
+                   help="skip FAST5s already carrying NanomoCorrected_000")
+    p.add_argument("--metricsFile", default="",
+                   help="write per-stage timing/throughput JSON here")
     p.set_defaults(func=cmd_annotate)
     return parser
 

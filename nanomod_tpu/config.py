@@ -105,6 +105,10 @@ class DetectConfig:
     dtype: str = "float32"         # on-device compute dtype
     num_workers: int = 8           # host-side ingest threads
     native_ingest: bool = True     # C++ FAST5 parser (h5py fallback if absent)
+    # write per-stage timing/throughput counters as JSON (new)
+    metrics_file: Optional[str] = None
+    # jax.profiler trace directory (new; also via NANOMOD_PROFILE_DIR)
+    profile_dir: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -142,6 +146,12 @@ class AnnotateConfig:
     # use the Pallas DP kernel on accelerator backends (falls back to the
     # lax.scan implementation on CPU)
     use_pallas_dp: bool = True
+    # skip FAST5s that already carry a NanomoCorrected_000 group — resume
+    # after an interrupted run (new; the reference always rewrites,
+    # ref myRefBaseSignalAnnotation.py:706-714)
+    resume: bool = False
+    # write per-stage timing/throughput counters as JSON (new)
+    metrics_file: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -21,6 +21,7 @@ from nanomod_tpu.io.fast5 import iter_fast5_files, read_corrected_events
 from nanomod_tpu.rank.ranking import SignTable, region_rank, sort_sites, top_sites
 from nanomod_tpu.stats.battery import TestResult, run_battery
 from nanomod_tpu.stats.combine import combine_neighbor_pvalues
+from nanomod_tpu.utils.observe import device_trace, observer, report, stage
 
 
 def _read_passes_filters(rd, cfg: DetectConfig,
@@ -72,21 +73,25 @@ def ingest_group(folder: str, cfg: DetectConfig) -> Dict[Tuple[str, str], Positi
     builder = PoolBuilder()
     files = list(iter_fast5_files(folder))
 
-    reads = None
-    if cfg.native_ingest:
-        from nanomod_tpu.native.fast5_bind import read_corrected_batch
-        reads = read_corrected_batch(files, nthreads=cfg.num_workers)
-    if reads is None:                          # h5py fallback
-        with ThreadPoolExecutor(max_workers=cfg.num_workers) as ex:
-            reads = list(ex.map(read_corrected_events, files))
+    with stage("ingest", unit="reads") as s:
+        reads = None
+        if cfg.native_ingest:
+            from nanomod_tpu.native.fast5_bind import read_corrected_batch
+            reads = read_corrected_batch(files, nthreads=cfg.num_workers)
+        if reads is None:                          # h5py fallback
+            with ThreadPoolExecutor(max_workers=cfg.num_workers) as ex:
+                reads = list(ex.map(read_corrected_events, files))
+        s.add(len(files))
 
-    for rd in reads:
-        if rd is None:
-            continue
-        if not _read_passes_filters(rd, cfg, start_end):
-            continue
-        builder.add_read(rd.chrom, rd.strand, rd.start,
-                         rd.norm_mean, rd.base, pos_filter=pos_filter)
+    with stage("accumulate", unit="reads") as s:
+        for rd in reads:
+            if rd is None:
+                continue
+            if not _read_passes_filters(rd, cfg, start_end):
+                continue
+            builder.add_read(rd.chrom, rd.strand, rd.start,
+                             rd.norm_mean, rd.base, pos_filter=pos_filter)
+            s.add(1)
     if cfg.out_level <= OUTPUT_INFO:
         print(f"Number of files in {folder} is {len(files)}")
     return builder.finalize()
@@ -107,19 +112,21 @@ def detect_from_pools(
 
     keys = []
     parts = []
-    for key, common, i1, i2 in join_pools(pools1, pools2):
-        g1, g2 = pools1[key], pools2[key]
-        # base disagreement warning (ref myDetect.py:432-434)
-        bad = g1.base[i1] != g2.base[i2]
-        if bad.any() and cfg.out_level <= OUTPUT_INFO:
-            print(f"Warning: {bad.sum()} base mismatches between groups at {key}")
-        res = run_battery(
-            g1.values[i1], g1.counts[i1], g2.values[i2], g2.counts[i2],
-            strand=key[1], cfg=cfg.stats, tile_positions=cfg.tile_positions,
-            want_mstd=cfg.mstd,
-        )
-        keys.append(key)
-        parts.append((key, common, g2.base[i2], g1.counts[i1], g2.counts[i2], res))
+    with stage("test_battery", unit="positions") as s:
+        for key, common, i1, i2 in join_pools(pools1, pools2):
+            g1, g2 = pools1[key], pools2[key]
+            # base disagreement warning (ref myDetect.py:432-434)
+            bad = g1.base[i1] != g2.base[i2]
+            if bad.any() and cfg.out_level <= OUTPUT_INFO:
+                print(f"Warning: {bad.sum()} base mismatches between groups at {key}")
+            res = run_battery(
+                g1.values[i1], g1.counts[i1], g2.values[i2], g2.counts[i2],
+                strand=key[1], cfg=cfg.stats, tile_positions=cfg.tile_positions,
+                want_mstd=cfg.mstd,
+            )
+            keys.append(key)
+            parts.append((key, common, g2.base[i2], g1.counts[i1], g2.counts[i2], res))
+            s.add(len(common))
 
     if not parts:
         empty = TestResult(*(np.empty(0) for _ in range(6)))
@@ -151,18 +158,22 @@ def detect_from_pools(
             # ref myDetect.py:413: the KS tuple is reused as the 4th column
             res.stcomb, res.pcomb = res.stks.copy(), res.pks.copy()
         else:
-            res.stcomb, res.pcomb = combine_neighbor_pvalues(
-                group_ids, positions, res.pks, cfg.stats
-            )
+            with stage("combine_pvalues", unit="positions") as s:
+                res.stcomb, res.pcomb = combine_neighbor_pvalues(
+                    group_ids, positions, res.pks, cfg.stats
+                )
+                s.add(len(positions))
 
     table = SignTable(keys=[p[0] for p in parts], group_ids=group_ids,
                       positions=positions, base=base, cov1=cov1, cov2=cov2,
                       res=res)
 
-    if cfg.rank.region_rank_by_st:
-        order = region_rank(table, cfg.stats, cfg.rank)
-    else:
-        order = sort_sites(table, cfg.stats, cfg.rank)
+    with stage("rank", unit="positions") as s:
+        if cfg.rank.region_rank_by_st:
+            order = region_rank(table, cfg.stats, cfg.rank)
+        else:
+            order = sort_sites(table, cfg.stats, cfg.rank)
+        s.add(len(positions))
     return table, order
 
 
@@ -199,14 +210,22 @@ def save_sign_test(table: SignTable, cfg: DetectConfig) -> str:
 
 
 def run_detect(cfg: DetectConfig):
-    """Full detect pipeline (ref myDetect.py:635-643)."""
-    pools1 = ingest_group(cfg.wrk_base1, cfg)
-    pools2 = ingest_group(cfg.wrk_base2, cfg)
-    table, order = detect_from_pools(pools1, pools2, cfg)
-    if cfg.save_test:
-        save_sign_test(table, cfg)
-    sites = top_sites(table, order, cfg.stats, cfg.rank, top_n=cfg.rank.top_n)
-    if cfg.make_plots:
-        from nanomod_tpu.harness.plots import plot_top_sites
-        plot_top_sites(table, sites, pools1, pools2, cfg)
+    """Full detect pipeline (ref myDetect.py:635-643).
+
+    Per-stage wall/throughput counters are recorded in the global Observer;
+    cfg.metrics_file dumps them as JSON and cfg.profile_dir (or
+    NANOMOD_PROFILE_DIR) wraps the run in a jax.profiler device trace."""
+    with device_trace(cfg.profile_dir):
+        pools1 = ingest_group(cfg.wrk_base1, cfg)
+        pools2 = ingest_group(cfg.wrk_base2, cfg)
+        table, order = detect_from_pools(pools1, pools2, cfg)
+        if cfg.save_test:
+            save_sign_test(table, cfg)
+        sites = top_sites(table, order, cfg.stats, cfg.rank, top_n=cfg.rank.top_n)
+        if cfg.make_plots:
+            from nanomod_tpu.harness.plots import plot_top_sites
+            plot_top_sites(table, sites, pools1, pools2, cfg)
+    report(cfg.out_level)
+    if cfg.metrics_file:
+        observer().to_json(cfg.metrics_file)
     return table, order, sites

@@ -100,6 +100,16 @@ def read_corrected_events(path: str) -> Optional[CorrectedRead]:
         return None
 
 
+def has_corrected_group(path: str) -> bool:
+    """Cheap check whether a FAST5 already carries the corrected annotation
+    (used by Annotate --resume to skip finished files)."""
+    try:
+        with h5py.File(path, "r") as f:
+            return f"{ANALYSES}/{CORRECTED_GROUP}" in f
+    except OSError:
+        return False
+
+
 def write_corrected_events(
     path: str,
     chrom: str,

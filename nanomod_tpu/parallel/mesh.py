@@ -86,7 +86,10 @@ def distributed_detect_step(mesh: Mesh, genome_len: int,
 
     Returns (counts [G], sums [G], d [P], trs [P], ties [P]).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map          # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     n_data = mesh.shape["data"]
     n_pos = mesh.shape["pos"]
@@ -104,13 +107,15 @@ def distributed_detect_step(mesh: Mesh, genome_len: int,
         d_all = jax.lax.all_gather(d_all, "data", tiled=True)
         return cnt, s1, s2, d_all, trs, ties
 
-    smapped = shard_map(
-        step, mesh=mesh,
+    specs = dict(
         in_specs=(P("data"), P("data"), P("data"),
                   P(("data", "pos")), P(("data", "pos")),
                   P(("data", "pos")), P(("data", "pos"))),
         out_specs=(P(), P(), P(),
                    P(), P(("data", "pos")), P(("data", "pos"))),
-        check_rep=False,
     )
+    try:                                   # jax >= 0.8 renamed check_rep
+        smapped = shard_map(step, mesh=mesh, check_vma=False, **specs)
+    except TypeError:
+        smapped = shard_map(step, mesh=mesh, check_rep=False, **specs)
     return jax.jit(smapped)(read_pos, read_val, read_ok, z, lab, n1, n2)

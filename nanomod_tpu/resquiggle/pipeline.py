@@ -304,14 +304,18 @@ def annotate_files(paths: List[str], cfg: AnnotateConfig,
     # reads, so a thread pool covers the reference's multiprocessing use
     # (ref myRefBaseSignalAnnotation.py:1466-1471)
     from concurrent.futures import ThreadPoolExecutor
+
+    from nanomod_tpu.utils.observe import stage
     workers = max(1, min(cfg.threads, 16))
-    with ThreadPoolExecutor(max_workers=workers) as ex:
+    with stage("prepare", unit="reads") as s, \
+            ThreadPoolExecutor(max_workers=workers) as ex:
         for p, (rd, err) in zip(paths, ex.map(
                 lambda q: prepare_read(q, cfg, seed_index, kmer_model), paths)):
             if rd is None:
                 errors[err].append(p)
             else:
                 prepared.append(rd)
+        s.add(len(paths))
 
     # bucket by length for batched alignment
     buckets: Dict[int, List[PreparedRead]] = defaultdict(list)
@@ -320,21 +324,25 @@ def annotate_files(paths: List[str], cfg: AnnotateConfig,
 
     n_ok = 0
     for bucket_reads in buckets.values():
-        results = align_batch(bucket_reads, fasta, cfg)
-        for r, (ops, ws) in zip(bucket_reads, results):
-            if ops is None:
-                errors["Not in alignment sam"].append(r.path)
-                continue
-            payload, err = annotate_one(r, ops, ws, fasta, cfg)
-            if payload is None:
-                errors[err].append(r.path)
-                continue
-            try:
-                write_corrected_events(r.path, **payload,
-                                       basecall_group=cfg.basecall_1d)
-                n_ok += 1
-            except OSError:
-                errors["Cannot save data"].append(r.path)
+        with stage("align_dp", unit="reads") as s:
+            results = align_batch(bucket_reads, fasta, cfg)
+            s.add(len(bucket_reads))
+        with stage("annotate_write", unit="reads") as s:
+            for r, (ops, ws) in zip(bucket_reads, results):
+                if ops is None:
+                    errors["Not in alignment sam"].append(r.path)
+                    continue
+                payload, err = annotate_one(r, ops, ws, fasta, cfg)
+                if payload is None:
+                    errors[err].append(r.path)
+                    continue
+                try:
+                    write_corrected_events(r.path, **payload,
+                                           basecall_group=cfg.basecall_1d)
+                    n_ok += 1
+                except OSError:
+                    errors["Cannot save data"].append(r.path)
+            s.add(len(bucket_reads))
     return n_ok, dict(errors), dict(signal_hist)
 
 
@@ -347,6 +355,15 @@ def annotate_folder(cfg: AnnotateConfig):
     start = time.time()
     paths = list(iter_fast5_files(cfg.wrk_base1, recursive=cfg.recursive))
     print(f"Total f5={len(paths)}")
+    if cfg.resume:
+        # skip files that already carry NanomoCorrected_000 (the reference
+        # always rewrites, ref myRefBaseSignalAnnotation.py:706-714; resume
+        # makes interrupted runs restartable without redoing finished work)
+        from nanomod_tpu.io.fast5 import has_corrected_group
+        n_before = len(paths)
+        paths = [p for p in paths if not has_corrected_group(p)]
+        print(f"Resume: {n_before - len(paths)} already annotated, "
+              f"{len(paths)} to do")
     fasta = FastaIndex(cfg.ref_fasta)
     seed_index = SeedIndex(fasta.seqs, k=cfg.seed_k)
     total_ok = 0
@@ -366,4 +383,8 @@ def annotate_folder(cfg: AnnotateConfig):
     for k, v in all_errors.items():
         print(f"\t{k} {len(v)}")
     print(f"Total consuming time {dt:.0f} ({total_ok / max(dt, 1e-9):.1f} reads/s)")
+    from nanomod_tpu.utils.observe import observer, report
+    report(cfg.out_level)
+    if cfg.metrics_file:
+        observer().to_json(cfg.metrics_file)
     return total_ok, dict(all_errors)
