@@ -25,9 +25,28 @@ import matplotlib.pyplot as plt  # noqa: E402
 from matplotlib.backends.backend_pdf import PdfPages  # noqa: E402
 
 
+def _gaussian_kde_curve(vals: np.ndarray, grid: np.ndarray) -> np.ndarray:
+    """Silverman-bandwidth Gaussian KDE evaluated on `grid` (the mirrored
+    density panels of Base_Most_Significant_Plot.R:86-188 use R's
+    stat_density, which defaults to a Gaussian kernel)."""
+    n = len(vals)
+    if n < 2:
+        return np.zeros_like(grid)
+    sd = float(np.std(vals))
+    if sd == 0:
+        sd = 1e-3
+    bw = 1.06 * sd * n ** (-0.2)
+    diffs = (grid[:, None] - vals[None, :]) / bw
+    return np.exp(-0.5 * diffs ** 2).sum(axis=1) / (n * bw * np.sqrt(2 * np.pi))
+
+
 def plot_top_sites(table, sites, pools1, pools2, cfg, max_sites: int = None):
     """One page per top site: signal distributions of both groups across the
-    ±window neighborhood plus p-value bar tracks."""
+    ±window neighborhood plus p-value bar tracks.
+
+    cfg.plot_type selects the reference's two modes
+    (ref Base_Most_Significant_Plot.R:5-85 violin, :86-188 mirrored density;
+    selected by --plotType, ref bin/NanoMod.py detect options)."""
     max_sites = max_sites or cfg.rank.top_n
     os.makedirs(cfg.out_folder, exist_ok=True)
     path = os.path.join(cfg.out_folder, f"rplot_{cfg.file_id}.pdf")
@@ -64,19 +83,38 @@ def plot_top_sites(table, sites, pools1, pools2, cfg, max_sites: int = None):
                 2, 1, figsize=(max(8, w * 1.7), 6),
                 gridspec_kw={"height_ratios": [3, 1]}, sharex=True)
             xs = np.arange(len(labels))
+            violin = getattr(cfg, "plot_type", "Density") == "Violin"
+            all_vals = np.concatenate(
+                [v for v in data1 + data2 if len(v)] or [np.zeros(1)])
+            grid = np.linspace(all_vals.min() - 0.5, all_vals.max() + 0.5, 80)
             for i, (d1, d2) in enumerate(zip(data1, data2)):
-                if len(d1):
-                    parts = ax1.violinplot([d1], positions=[i - 0.18],
-                                           widths=0.32, showextrema=False)
-                    for b in parts["bodies"]:
-                        b.set_facecolor("#4878CF")
-                        b.set_alpha(0.6)
-                if len(d2):
-                    parts = ax1.violinplot([d2], positions=[i + 0.18],
-                                           widths=0.32, showextrema=False)
-                    for b in parts["bodies"]:
-                        b.set_facecolor("#D65F5F")
-                        b.set_alpha(0.6)
+                if violin:
+                    if len(d1):
+                        parts = ax1.violinplot([d1], positions=[i - 0.18],
+                                               widths=0.32, showextrema=False)
+                        for b in parts["bodies"]:
+                            b.set_facecolor("#4878CF")
+                            b.set_alpha(0.6)
+                    if len(d2):
+                        parts = ax1.violinplot([d2], positions=[i + 0.18],
+                                               widths=0.32, showextrema=False)
+                        for b in parts["bodies"]:
+                            b.set_facecolor("#D65F5F")
+                            b.set_alpha(0.6)
+                else:
+                    # mirrored density: group1 up, group2 down, per position
+                    for d, color, sign in ((d1, "#4878CF", 1.0),
+                                           (d2, "#D65F5F", -1.0)):
+                        if not len(d):
+                            continue
+                        dens = _gaussian_kde_curve(np.asarray(d, float), grid)
+                        peak = dens.max()
+                        if peak > 0:
+                            dens = dens / peak * 0.42
+                        ax1.fill_betweenx(grid, i, i + sign * dens,
+                                          facecolor=color, alpha=0.6, lw=0)
+            if not violin:
+                ax1.axhline(0, color="0.85", lw=0.5, zorder=0)
             ax1.set_ylabel("normalized signal")
             ax1.set_title(
                 f"rank {site.rank}: {site.chrom}:{site.pos + 1} "
@@ -113,5 +151,55 @@ def plot_rank_histogram(grouped: Dict, labels: List[str], out_path: str,
               title="Rank percentile")
     fig.tight_layout()
     fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def plot_rank_histogram_grid(panels: Dict[str, tuple], out_path: str,
+                             ncols: int = 3, xlabel: str = "MixedPerc"):
+    """Faceted grid of stacked rank-percentile histograms, one panel per
+    dataset/method — the Hist_sim_plot9.R / Hist_sim_plot27.R equivalents
+    (9/27 facets over modification types × methods).
+
+    `panels` maps panel title -> (grouped, labels) as returned by
+    harness.simulate.group_ranks / summarize_outputs."""
+    names = list(panels)
+    n = len(names)
+    ncols = min(ncols, max(n, 1))
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols,
+                             figsize=(ncols * 3.2, nrows * 2.6),
+                             squeeze=False, sharey=True)
+    cmap = plt.get_cmap("RdYlGn_r")
+    legend_handles = None
+    legend_labels = None
+    for idx, name in enumerate(names):
+        ax = axes[idx // ncols][idx % ncols]
+        grouped, labels = panels[name]
+        keys = sorted(grouped)
+        xs = np.arange(len(keys))
+        colors = [cmap(i / max(len(labels) - 1, 1)) for i in range(len(labels))]
+        bottom = np.zeros(len(keys))
+        handles = []
+        for lab, color in zip(labels, colors):
+            vals = np.array([grouped[k].get(lab, 0.0) for k in keys])
+            h = ax.bar(xs, vals, bottom=bottom, color=color, width=0.7)
+            handles.append(h)
+            bottom += vals
+        if legend_handles is None:
+            legend_handles, legend_labels = handles, labels
+        ax.set_xticks(xs)
+        ax.set_xticklabels([str(k) for k in keys], fontsize=6, rotation=45)
+        ax.set_title(name, fontsize=8)
+        if idx // ncols == nrows - 1:
+            ax.set_xlabel(xlabel, fontsize=7)
+    for idx in range(n, nrows * ncols):
+        axes[idx // ncols][idx % ncols].axis("off")
+    if legend_handles:
+        fig.legend(legend_handles, legend_labels, fontsize=6,
+                   loc="center left", bbox_to_anchor=(1.0, 0.5),
+                   title="Rank percentile")
+    fig.tight_layout()
+    fig.savefig(out_path, bbox_inches="tight")
     plt.close(fig)
     return out_path

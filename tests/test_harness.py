@@ -99,3 +99,41 @@ def test_plots_render(sim_data, tmp_path):
     grouped, labels = group_ranks({0.3: [1, 2, 3], 0.5: [1, 1, 1]})
     p = plot_rank_histogram(grouped, labels, str(tmp_path / "hist.png"))
     assert os.path.getsize(p) > 1000
+
+
+def test_plot_rank_histogram_grid(tmp_path):
+    from nanomod_tpu.harness.plots import plot_rank_histogram_grid
+    grouped, labels = group_ranks({0.3: [1, 2, 3], 0.5: [1, 1, 1]})
+    panels = {f"mod{i}" for i in range(9)}
+    panels = {name: (grouped, labels) for name in sorted(panels)}
+    p = plot_rank_histogram_grid(panels, str(tmp_path / "grid.png"))
+    assert os.path.getsize(p) > 1000
+
+
+def test_plot_top_sites_density_and_violin(tmp_path):
+    """Both plotType modes of the per-site window plot render
+    (ref Base_Most_Significant_Plot.R violin :5-85 / density :86-188)."""
+    import numpy as np
+    from fixtures import make_genome, make_corrected_dataset
+    from nanomod_tpu.config import DetectConfig, replace
+    from nanomod_tpu.detect import ingest_group, detect_from_pools
+    from nanomod_tpu.harness.plots import plot_top_sites
+    from nanomod_tpu.rank.ranking import top_sites
+
+    chrom, genome = make_genome(length=120, seed=21)
+    ctrl = str(tmp_path / "c1")
+    case = str(tmp_path / "c2")
+    make_corrected_dataset(ctrl, chrom, genome, n_reads=10, seed=1)
+    make_corrected_dataset(case, chrom, genome, n_reads=10, seed=2,
+                           mod_pos=60, mod_delta=1.5)
+    cfg = DetectConfig(wrk_base1=ctrl, wrk_base2=case,
+                       out_folder=str(tmp_path / "out"), min_lr=0)
+    pools1 = ingest_group(ctrl, cfg)
+    pools2 = ingest_group(case, cfg)
+    table, order = detect_from_pools(pools1, pools2, cfg)
+    sites = top_sites(table, order, cfg.stats, cfg.rank, top_n=2)
+    for ptype in ("Density", "Violin"):
+        c = replace(cfg, plot_type=ptype,
+                    out_folder=str(tmp_path / f"out_{ptype}"))
+        p = plot_top_sites(table, sites, pools1, pools2, c, max_sites=2)
+        assert os.path.getsize(p) > 2000, ptype
