@@ -52,8 +52,9 @@ def main():
     fasta = FastaIndex(fasta_p)
     sidx = SeedIndex(fasta.seqs, k=cfg.seed_k)
 
-    # warmup (compiles)
-    annotate_files(paths[:16], cfg, fasta, sidx)
+    # warmup (compiles; full batch so the measured run reuses the same
+    # jit shapes — the DP is bucketed by batch size and read length)
+    annotate_files(paths, cfg, fasta, sidx)
     t0 = time.time()
     n_ok, errors, _ = annotate_files(paths, cfg, fasta, sidx)
     dt = time.time() - t0

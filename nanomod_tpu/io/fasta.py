@@ -40,6 +40,18 @@ class FastaIndex:
     def get(self, chrom: str) -> str:
         return self.seqs[chrom]
 
+    def get_bytes(self, chrom: str):
+        """Sequence as a cached uint8 ASCII array (vectorized base gather)."""
+        cache = getattr(self, "_byte_cache", None)
+        if cache is None:
+            cache = self._byte_cache = {}
+        arr = cache.get(chrom)
+        if arr is None:
+            import numpy as np
+            arr = np.frombuffer(self.seqs[chrom].encode("ascii"), np.uint8)
+            cache[chrom] = arr
+        return arr
+
     def __contains__(self, chrom):
         return chrom in self.seqs
 
@@ -54,6 +66,17 @@ class FastaIndex:
 
 
 COMPLEMENT = str.maketrans("ACGTacgtNn", "TGCAtgcaNn")  # ref myCom.py:10-23
+
+
+def _make_comp_lut():
+    import numpy as np
+    lut = np.arange(256, dtype=np.uint8)
+    for a, b in zip(b"ACGTacgtNn", b"TGCAtgcaNn"):
+        lut[a] = b
+    return lut
+
+
+COMP_LUT = _make_comp_lut()  # uint8 complement table ('-'/'~' map to self)
 
 
 def revcomp(seq: str) -> str:

@@ -265,16 +265,43 @@ bool find_split_points(const double* pv, int64_t n, int64_t ena,
     return true;
 }
 
+// numpy's pairwise summation (umath pairwise_sum, PW_BLOCKSIZE=128),
+// reproduced exactly so means/stds match np.mean/np.std bit-for-bit
+// (rounding to 3 decimals amplifies 1-ulp differences on quantized signal).
+// F maps element i -> summand (identity for the mean, squared deviation
+// for the variance).
+template <typename F>
+double pairwise_sum(F f, int64_t off, int64_t n) {
+    if (n < 8) {
+        double res = 0.0;
+        for (int64_t i = 0; i < n; ++i) res += f(off + i);
+        return res;
+    } else if (n <= 128) {
+        double r[8];
+        for (int j = 0; j < 8; ++j) r[j] = f(off + j);
+        int64_t i;
+        for (i = 8; i < n - (n % 8); i += 8)
+            for (int j = 0; j < 8; ++j) r[j] += f(off + i + j);
+        double res = ((r[0] + r[1]) + (r[2] + r[3])) +
+                     ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; ++i) res += f(off + i);
+        return res;
+    } else {
+        int64_t n2 = n / 2;
+        n2 -= n2 % 8;
+        return pairwise_sum(f, off, n2) + pairwise_sum(f, off + n2, n - n2);
+    }
+}
+
 void seg_mean_std(const double* v, int64_t lo, int64_t hi,
                   double* mean, double* std) {
     if (hi <= lo) { *mean = 0.0; *std = 0.0; return; }
-    double s = 0.0;
-    for (int64_t i = lo; i < hi; ++i) s += v[i];
-    double m = s / (hi - lo);
-    double ss = 0.0;
-    for (int64_t i = lo; i < hi; ++i) { double d = v[i] - m; ss += d * d; }
+    int64_t n = hi - lo;
+    double m = pairwise_sum([&](int64_t i) { return v[i]; }, lo, n) / n;
+    double ss = pairwise_sum(
+        [&](int64_t i) { double d = v[i] - m; return d * d; }, lo, n);
     *mean = round3(m);
-    *std = round3(std::sqrt(ss / (hi - lo)));
+    *std = round3(std::sqrt(ss / n));
 }
 
 }  // namespace

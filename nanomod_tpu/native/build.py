@@ -21,6 +21,7 @@ _CACHE = {}
 
 _EXTRA_FLAGS = {
     "fast5_ingest": ["-lz", "-pthread"],
+    "traceback": ["-pthread"],
 }
 
 

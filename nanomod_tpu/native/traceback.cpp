@@ -9,24 +9,26 @@
 
 #include <cstdint>
 
+#include <thread>
+#include <vector>
+
 namespace {
 constexpr int H_ZERO = 0, H_DIAG = 1, H_E = 2, H_F = 3;
-}
 
-extern "C" int64_t traceback_one(
-    const uint8_t* tb,      // [M, W] row-major
-    int64_t m, int64_t w,
-    int64_t best_i, int64_t best_k,
-    // outputs (caller-allocated, capacity cap):
-    int32_t* ops_type,      // 0=M (read i aligned to ref j), 1=I, 2=D
-    int32_t* ops_a,         // read index (M, I) or ref j (D)
-    int32_t* ops_b,         // ref j for M ops, -1 otherwise
-    int64_t cap) {
+// One walk of the 4-bit codes; Packed=true reads two cells per byte
+// (low nibble = even k), matching banded.pack_tb's device-side packing.
+template <bool Packed>
+int64_t walk(const uint8_t* tb, int64_t wbytes, int64_t best_i,
+             int64_t best_k, int64_t w, int32_t* ops_type, int32_t* ops_a,
+             int32_t* ops_b, int64_t cap) {
     int64_t n = 0;
     int64_t i = best_i, k = best_k;
     int state = 0;          // 0=H, 1=E, 2=F
     while (i >= 0 && n < cap) {
-        uint8_t bits = tb[i * w + k];
+        const uint8_t* row = tb + i * wbytes;
+        uint8_t bits = Packed
+            ? (uint8_t)((row[k >> 1] >> ((k & 1) * 4)) & 0xF)
+            : row[k];
         int src = bits & 0b11;
         if (state == 0) {
             if (src == H_ZERO) break;
@@ -47,13 +49,8 @@ extern "C" int64_t traceback_one(
             ops_a[n] = (int32_t)(i + k);
             ops_b[n] = -1;
             ++n;
-            if (bits & 0b100) {
-                k -= 1;
-                state = 1;
-            } else {
-                k -= 1;
-                state = 0;
-            }
+            state = (bits & 0b100) ? 1 : 0;
+            k -= 1;
             if (k < 0) break;
         } else {
             ops_type[n] = 1;
@@ -75,4 +72,58 @@ extern "C" int64_t traceback_one(
         t = ops_b[a]; ops_b[a] = ops_b[b]; ops_b[b] = t;
     }
     return n;
+}
+}  // namespace
+
+extern "C" int64_t traceback_one(
+    const uint8_t* tb,      // [M, W] row-major
+    int64_t m, int64_t w,
+    int64_t best_i, int64_t best_k,
+    // outputs (caller-allocated, capacity cap):
+    int32_t* ops_type,      // 0=M (read i aligned to ref j), 1=I, 2=D
+    int32_t* ops_a,         // read index (M, I) or ref j (D)
+    int32_t* ops_b,         // ref j for M ops, -1 otherwise
+    int64_t cap) {
+    (void)m;
+    return walk<false>(tb, w, best_i, best_k, w, ops_type, ops_a, ops_b, cap);
+}
+
+// Whole-batch traceback: tb is [B, M, wbytes] row-major; when packed != 0,
+// wbytes = W/2 with two 4-bit cells per byte (low nibble = even k), else
+// wbytes = W.  Outputs are [B, cap] row-major; out_n[b] receives the op
+// count for read b.
+extern "C" void traceback_batch(
+    const uint8_t* tb, int64_t bsz, int64_t m, int64_t wbytes, int packed,
+    const int32_t* best_i, const int32_t* best_k,
+    int32_t* ops_type, int32_t* ops_a, int32_t* ops_b,
+    int64_t cap, int64_t* out_n, int nthreads) {
+    const int64_t w = packed ? wbytes * 2 : wbytes;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > bsz) nthreads = (int)bsz;
+    auto run = [&](int64_t lo, int64_t hi) {
+        for (int64_t b = lo; b < hi; ++b) {
+            const uint8_t* tbr = tb + b * m * wbytes;
+            int32_t* ot = ops_type + b * cap;
+            int32_t* oa = ops_a + b * cap;
+            int32_t* ob = ops_b + b * cap;
+            out_n[b] = packed
+                ? walk<true>(tbr, wbytes, best_i[b], best_k[b], w,
+                             ot, oa, ob, cap)
+                : walk<false>(tbr, wbytes, best_i[b], best_k[b], w,
+                              ot, oa, ob, cap);
+        }
+    };
+    if (nthreads == 1) {
+        run(0, bsz);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int64_t chunk = (bsz + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+        int64_t lo = t * chunk;
+        int64_t hi = lo + chunk < bsz ? lo + chunk : bsz;
+        if (lo >= hi) break;
+        pool.emplace_back(run, lo, hi);
+    }
+    for (auto& th : pool) th.join();
 }

@@ -273,7 +273,9 @@ def _seg_mean_std(raw: np.ndarray, lo: int, hi: int) -> Tuple[float, float]:
     seg = raw[lo:hi]
     if len(seg) == 0:
         return 0.0, 0.0
-    return round(float(np.mean(seg)), 3), round(float(np.std(seg)), 3)
+    # np.round (round-half-even on the scaled double) — the native core
+    # reproduces this bit-for-bit via numpy's pairwise summation
+    return float(np.round(np.mean(seg), 3)), float(np.round(np.std(seg), 3))
 
 
 def annotate_read(cols: Columns, events: GenomeEvents, raw: np.ndarray,
@@ -339,8 +341,10 @@ def annotate_read(cols: Columns, events: GenomeEvents, raw: np.ndarray,
             all_mean = all_std = None
         else:
             signalnum[1] = signalnum.get(1, 0) + 1
-            all_mean = round(float(np.mean(pvsignals)), 3) if len(pvsignals) else 0.0
-            all_std = round(float(np.std(pvsignals)), 3) if len(pvsignals) else 0.0
+            all_mean = (float(np.round(np.mean(pvsignals), 3))
+                        if len(pvsignals) else 0.0)
+            all_std = (float(np.round(np.std(pvsignals), 3))
+                       if len(pvsignals) else 0.0)
 
         bmi2 = gipk - leftnum
         if bmi2 < 0:

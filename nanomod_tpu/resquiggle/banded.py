@@ -135,6 +135,100 @@ def banded_sw(read_codes, ref_window_codes, read_len, *,
     return tb, best, best_i, best_k
 
 
+@jax.jit
+def pack_tb(tb):
+    """Nibble-pack a [B, M, W] traceback matrix on device (two 4-bit cells
+    per byte, low nibble = even k) — halves the device-to-host transfer,
+    which dominates on tunneled chips.  W must be even."""
+    return tb[..., 0::2] | (tb[..., 1::2] << 4)
+
+
+@partial(jax.jit, static_argnames=("match", "mismatch", "go", "ge"))
+def banded_sw_packed(read_codes, ref_window_codes, read_len, *,
+                     match=2, mismatch=-3, go=-5, ge=-2):
+    """banded_sw with the traceback matrix nibble-packed on device.
+    Returns (tb_packed [B, M, W//2] uint8, best, best_i, best_k)."""
+    tb, best, best_i, best_k = banded_sw(
+        read_codes, ref_window_codes, read_len,
+        match=match, mismatch=mismatch, go=go, ge=ge)
+    return pack_tb(tb), best, best_i, best_k
+
+
+def unpack_tb(tb_packed: np.ndarray) -> np.ndarray:
+    """Host-side inverse of the device nibble packing (testing helper)."""
+    b, m, wp = tb_packed.shape
+    out = np.empty((b, m, wp * 2), np.uint8)
+    out[..., 0::2] = tb_packed & 0xF
+    out[..., 1::2] = tb_packed >> 4
+    return out
+
+
+def ops_to_arrays(ops) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Convert the tuple-list op format of `traceback` to the
+    (type, a, b) int32 array triple of `traceback_batch_native`."""
+    n = len(ops)
+    ot = np.empty(n, np.int32)
+    oa = np.empty(n, np.int32)
+    ob = np.full(n, -1, np.int32)
+    codes = {"M": 0, "I": 1, "D": 2}
+    for idx, op in enumerate(ops):
+        ot[idx] = codes[op[0]]
+        oa[idx] = op[1]
+        if op[0] == "M":
+            ob[idx] = op[2]
+    return ot, oa, ob
+
+
+def traceback_batch_native(tb: np.ndarray, best_i: np.ndarray,
+                           best_k: np.ndarray, *, packed: bool,
+                           nthreads: int = 8):
+    """Whole-batch C++ traceback (native/traceback.cpp traceback_batch).
+
+    tb is [B, M, W] uint8 or, when packed, [B, M, W//2] nibble-packed.
+    Returns a list of (ops_type, ops_a, ops_b) int32 array triples in
+    5'->3' order, or None when the native toolchain is unavailable.
+    """
+    import ctypes
+
+    from nanomod_tpu.native.build import load_native
+
+    lib = load_native("traceback")
+    if lib is None:
+        return None
+    if not getattr(lib, "_batch_sig", False):
+        lib.traceback_batch.restype = None
+        lib.traceback_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
+        lib._batch_sig = True
+    bsz, m, wbytes = tb.shape
+    w = wbytes * 2 if packed else wbytes
+    cap = 2 * m + w + 8
+    ot = np.empty((bsz, cap), np.int32)
+    oa = np.empty((bsz, cap), np.int32)
+    ob = np.empty((bsz, cap), np.int32)
+    out_n = np.zeros(bsz, np.int64)
+    tb_c = np.ascontiguousarray(tb, dtype=np.uint8)
+    bi = np.ascontiguousarray(best_i, dtype=np.int32)
+    bk = np.ascontiguousarray(best_k, dtype=np.int32)
+    lib.traceback_batch(
+        tb_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), bsz, m, wbytes,
+        1 if packed else 0,
+        bi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        oa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ob.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nthreads)
+    return [(ot[b, : out_n[b]].copy(), oa[b, : out_n[b]].copy(),
+             ob[b, : out_n[b]].copy()) for b in range(bsz)]
+
+
 def traceback_native(tb_row: np.ndarray, best_i: int, best_k: int):
     """C++ traceback (native/traceback.cpp); returns ops like `traceback`
     or None when the toolchain is unavailable."""

@@ -94,12 +94,31 @@ def prepare_read(path: str, cfg: AnnotateConfig, seed_index: SeedIndex,
     ), ""
 
 
-def align_batch(reads: List[PreparedRead], fasta: FastaIndex,
-                cfg: AnnotateConfig):
-    """Banded-DP align a length-bucketed batch; returns per-read traceback
-    ops (or None for failed alignments)."""
+@dataclass
+class DPBatch:
+    """An in-flight banded-DP batch (device arrays not yet fetched)."""
+
+    reads: List[PreparedRead]
+    tb: object                 # [B, M, W] or nibble-packed [B, M, W//2]
+    best: object
+    best_i: object
+    best_k: object
+    lens: np.ndarray
+    win_starts: np.ndarray
+    packed: bool
+
+
+def dispatch_dp(reads: List[PreparedRead], fasta: FastaIndex,
+                cfg: AnnotateConfig) -> Optional[DPBatch]:
+    """Build + dispatch the banded DP for a length-bucketed batch.
+
+    Returns immediately (JAX dispatch is async) so the device computes
+    while the host annotates a previous batch.  The traceback matrix is
+    nibble-packed on device when the native walker is available — halves
+    the D2H transfer, which dominates on tunneled chips.
+    """
     if not reads:
-        return []
+        return None
     from nanomod_tpu.platform import pallas_supported
     use_pallas = cfg.use_pallas_dp and pallas_supported()
     w = cfg.band_width
@@ -136,72 +155,134 @@ def align_batch(reads: List[PreparedRead], fasta: FastaIndex,
             match=cfg.match_score, mismatch=cfg.mismatch_score,
             go=cfg.gap_open, ge=cfg.gap_extend,
         )
-    tb = np.asarray(tb)
-    best = np.asarray(best)
-    bi = np.asarray(bi)
-    bk = np.asarray(bk)
+    packed = False
+    if cfg.use_native and w % 2 == 0:
+        from nanomod_tpu.native.build import load_native
+        if load_native("traceback") is not None:
+            from nanomod_tpu.resquiggle.banded import pack_tb
+            tb = pack_tb(tb)
+            packed = True
+    return DPBatch(reads, tb, best, bi, bk, lens, win_starts, packed)
 
-    from nanomod_tpu.resquiggle.banded import traceback_native
+
+def finish_alignment(batch: DPBatch, cfg: AnnotateConfig):
+    """Fetch the DP outputs and walk tracebacks for a dispatched batch.
+
+    Returns [( (ops_type, ops_a, ops_b) int32 triple | None, win_start )]
+    per read, 5'->3' op order.
+    """
+    from nanomod_tpu.resquiggle.banded import (ops_to_arrays,
+                                               traceback_batch_native)
+    tb = np.asarray(batch.tb)
+    best = np.asarray(batch.best)
+    bi = np.asarray(batch.best_i)
+    bk = np.asarray(batch.best_k)
+    reads, lens, win_starts = batch.reads, batch.lens, batch.win_starts
+
+    n = len(reads)
+    ops_all = None
+    if cfg.use_native:
+        ops_all = traceback_batch_native(
+            tb[:n], bi[:n], bk[:n], packed=batch.packed,
+            nthreads=min(8, max(1, cfg.threads)))
     out = []
     for i, r in enumerate(reads):
         min_score = max(20, int(0.3 * cfg.match_score * lens[i]))
         if best[i] < min_score:
             out.append((None, int(win_starts[i])))
             continue
-        ops = None
-        if cfg.use_native:
-            ops = traceback_native(tb[i], bi[i], bk[i])
-        if ops is None:
-            ops = traceback(tb[i], bi[i], bk[i], int(lens[i]))
+        if ops_all is not None:
+            ops = ops_all[i]
+        else:
+            ops = ops_to_arrays(
+                traceback(tb[i], bi[i], bk[i], int(lens[i])))
         out.append((ops, int(win_starts[i])))
     return out
+
+
+def align_batch(reads: List[PreparedRead], fasta: FastaIndex,
+                cfg: AnnotateConfig):
+    """Banded-DP align a length-bucketed batch; returns per-read
+    (ops arrays, win_start) pairs (ops None for failed alignments)."""
+    batch = dispatch_dp(reads, fasta, cfg)
+    if batch is None:
+        return []
+    return finish_alignment(batch, cfg)
+
+
+def _payload(read, first_match_pos, ev_out, read_al, genome_al, clip_s,
+             clip_e, numins, numdel, nmatch, nummismatch):
+    return {
+        "chrom": read.chrom,
+        "start": int(first_match_pos),
+        "strand": read.strand,
+        "events": ev_out,
+        "read_alignment": read_al,
+        "genome_alignment": genome_al,
+        "clipped_start": clip_s,
+        "clipped_end": clip_e,
+        "num_insertions": numins,
+        "num_deletions": numdel,
+        "num_matches": nmatch,
+        "num_mismatches": nummismatch,
+    }, ""
 
 
 def annotate_one(read: PreparedRead, ops, win_start: int, fasta: FastaIndex,
                  cfg: AnnotateConfig) -> Tuple[Optional[dict], str]:
     """Run the indel-correction core for one aligned read; returns the
-    payload for write_corrected_events."""
-    genome = fasta.get(read.chrom)
+    payload for write_corrected_events.
+
+    ``ops`` is the (ops_type, ops_a, ops_b) int32 array triple from
+    finish_alignment (a tuple-list from banded.traceback also accepted).
+    The column build and output assembly are vectorized; the correction
+    core runs natively (annotate_core.cpp) with a pure-Python fallback.
+    """
+    from nanomod_tpu.io.fasta import COMP_LUT
+    if not isinstance(ops, tuple):
+        from nanomod_tpu.resquiggle.banded import ops_to_arrays
+        ops = ops_to_arrays(ops)
+    ot, oa, ob = ops
+    if len(ot) == 0:
+        return None, "Incorrect Alignment"
+    genome_b = fasta.get_bytes(read.chrom)
     m_total = len(read.fwd_seq)
+    read_b = np.frombuffer(read.fwd_seq.encode("ascii"), np.uint8)
+    is_m = ot == 0
+    is_i = ot == 1
+    is_d = ot == 2
 
     # aligned read span in fwd coordinates
-    read_idx = [op[1] for op in ops if op[0] in ("M", "I")]
-    if not read_idx:
+    ridx = oa[~is_d]
+    if ridx.size == 0:
         return None, "Incorrect Alignment"
-    r0, r1 = min(read_idx), max(read_idx)
+    r0 = int(ridx.min())
+    r1 = int(ridx.max())
     leftclip = r0
     rightclip = m_total - 1 - r1
 
-    first_m = next(op for op in ops if op[0] == "M")
-    first_match_pos = win_start + first_m[2]
+    m_idx = np.flatnonzero(is_m)
+    if m_idx.size == 0:
+        return None, "Incorrect Alignment"
+    first_match_pos = win_start + int(ob[m_idx[0]])
 
-    # aligned columns in genome-forward order
-    refb = []
-    readb = []
-    nummismatch = numins = numdel = 0
-    for op in ops:
-        if op[0] == "M":
-            g = win_start + op[2]
-            if g < 0 or g >= len(genome):
-                return None, "Incorrect Alignment"
-            rb = read.fwd_seq[op[1]]
-            fb = genome[g]
-            refb.append(fb)
-            readb.append(rb)
-            if rb != fb:
-                nummismatch += 1
-        elif op[0] == "I":
-            refb.append("-")
-            readb.append(read.fwd_seq[op[1]])
-            numins += 1
-        else:
-            g = win_start + op[1]
-            if g < 0 or g >= len(genome):
-                return None, "Incorrect Alignment"
-            refb.append(genome[g])
-            readb.append("-")
-            numdel += 1
-    cols = Columns(np.array(refb, dtype="<U1"), np.array(readb, dtype="<U1"))
+    # aligned columns in genome-forward order (vectorized CIGAR expansion;
+    # the reference walks this per base in Python, ref :537-588)
+    g = np.where(is_m, ob, oa).astype(np.int64) + win_start
+    g_real = g[~is_i]
+    if g_real.size and (g_real.min() < 0 or g_real.max() >= len(genome_b)):
+        return None, "Incorrect Alignment"
+    refb = genome_b[np.where(is_i, 0, g)]
+    refb = np.where(is_i, np.uint8(ord("-")), refb)
+    readb = read_b[np.where(is_d, 0, oa)]
+    readb = np.where(is_d, np.uint8(ord("-")), readb)
+    readb = np.ascontiguousarray(readb, np.uint8)   # native core mutates
+    refb = np.ascontiguousarray(refb, np.uint8)
+    nummismatch = int(np.count_nonzero(is_m & (refb != readb)))
+    numins = int(np.count_nonzero(is_i))
+    numdel = int(np.count_nonzero(is_d))
+    n_cols = len(ot)
+    nmatch = n_cols - nummismatch - numins - numdel
 
     # genome-forward event arrays for the aligned region
     n_aligned = r1 - r0 + 1
@@ -209,29 +290,53 @@ def annotate_one(read: PreparedRead, ops, win_start: int, fasta: FastaIndex,
         orig = r0 + np.arange(n_aligned)
     else:
         orig = m_total - 1 - r0 - np.arange(n_aligned)
-    events = GenomeEvents(read.events_start[orig].astype(np.int64),
-                          read.events_length[orig].astype(np.int64),
-                          read.strand)
+    ev_start = read.events_start[orig].astype(np.int64)
+    ev_length = read.events_length[orig].astype(np.int64)
 
-    ann = None
+    res = None
     if cfg.use_native:
-        from nanomod_tpu.native.annotate_bind import native_annotate
-        res = native_annotate(
-            cols.refbase, cols.readbase, events.start, events.length,
-            read.strand, read.norm_signal, cfg.min_num_signal,
+        from nanomod_tpu.native.annotate_bind import native_annotate_bytes
+        res = native_annotate_bytes(
+            refb, readb, ev_start, ev_length, read.strand,
+            read.norm_signal, cfg.min_num_signal,
             cfg.resegment_signal_wind, cfg.more_signal_perc)
-        if res is not None:
-            ann, signalnum, new_rb = res
-            cols = Columns(cols.refbase, new_rb)
-    if ann is None:
-        indel_pos = ann_mod.mark_repeat_indels(cols)
-        groups = ann_mod.group_indels(indel_pos, events, cols,
-                                      cfg.min_num_signal,
-                                      cfg.more_signal_perc)
-        ann, signalnum = ann_mod.annotate_read(
-            cols, events, read.norm_signal, groups,
-            cfg.resegment_signal_wind, cfg.min_num_signal,
-        )
+    if res is not None:
+        out_mean, out_std, out_start, out_len, out_valid, _hist = res
+        valid = np.flatnonzero(out_valid)
+        if valid.size == 0:
+            return None, "Incorrect Alignment"
+        order = valid if read.strand == "+" else valid[::-1]
+        ev_out = np.empty(order.size, CORRECTED_EVENTS_DTYPE)
+        ev_out["norm_mean"] = out_mean[order]
+        ev_out["norm_stdev"] = out_std[order]
+        ev_out["start"] = out_start[order]
+        ev_out["length"] = out_len[order]
+        bb = refb[order]
+        if read.strand == "-":
+            bb = COMP_LUT[bb]
+        ev_out["base"] = bb.view("S1")
+        if read.strand == "+":
+            read_al = readb.view("S1")
+            genome_al = refb.view("S1")
+            clip_s, clip_e = leftclip, rightclip
+        else:
+            read_al = COMP_LUT[readb[::-1]].view("S1")
+            genome_al = COMP_LUT[refb[::-1]].view("S1")
+            clip_s, clip_e = rightclip, leftclip
+        return _payload(read, first_match_pos, ev_out, read_al, genome_al,
+                        clip_s, clip_e, numins, numdel, nmatch, nummismatch)
+
+    # pure-Python specification path (ref annotate1 semantics)
+    cols = Columns(refb.view("S1").astype("<U1"), readb.view("S1").astype("<U1"))
+    events = GenomeEvents(ev_start, ev_length, read.strand)
+    indel_pos = ann_mod.mark_repeat_indels(cols)
+    groups = ann_mod.group_indels(indel_pos, events, cols,
+                                  cfg.min_num_signal,
+                                  cfg.more_signal_perc)
+    ann, signalnum = ann_mod.annotate_read(
+        cols, events, read.norm_signal, groups,
+        cfg.resegment_signal_wind, cfg.min_num_signal,
+    )
 
     # build output events over annotated columns, genome-ascending
     keys = sorted(ann)
@@ -264,22 +369,8 @@ def annotate_one(read: PreparedRead, ops, win_start: int, fasta: FastaIndex,
         genome_al = np.array([complement(str(b)) for b in cols.refbase[::-1]],
                              dtype="S1")
         clip_s, clip_e = rightclip, leftclip
-
-    nmatch = len(cols) - nummismatch - numins - numdel
-    return {
-        "chrom": read.chrom,
-        "start": int(first_match_pos),
-        "strand": read.strand,
-        "events": ev_out,
-        "read_alignment": read_al,
-        "genome_alignment": genome_al,
-        "clipped_start": clip_s,
-        "clipped_end": clip_e,
-        "num_insertions": numins,
-        "num_deletions": numdel,
-        "num_matches": nmatch,
-        "num_mismatches": nummismatch,
-    }, ""
+    return _payload(read, first_match_pos, ev_out, read_al, genome_al,
+                    clip_s, clip_e, numins, numdel, nmatch, nummismatch)
 
 
 def annotate_files(paths: List[str], cfg: AnnotateConfig,
@@ -322,27 +413,49 @@ def annotate_files(paths: List[str], cfg: AnnotateConfig,
     for r in prepared:
         buckets[_length_bucket(len(r.fwd_seq))].append(r)
 
+    # dispatch every bucket's banded DP up front (JAX dispatch is async):
+    # the device crunches bucket k+1 while the host tracebacks/annotates
+    # bucket k
+    dp_batches = []
+    with stage("align_dp", unit="reads") as s:
+        for bucket_reads in buckets.values():
+            dp_batches.append(dispatch_dp(bucket_reads, fasta, cfg))
+            s.add(len(bucket_reads))
+
     n_ok = 0
-    for bucket_reads in buckets.values():
-        with stage("align_dp", unit="reads") as s:
-            results = align_batch(bucket_reads, fasta, cfg)
-            s.add(len(bucket_reads))
-        with stage("annotate_write", unit="reads") as s:
-            for r, (ops, ws) in zip(bucket_reads, results):
+    from concurrent.futures import ThreadPoolExecutor
+    workers = max(1, min(cfg.threads, 16))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        for dpb in dp_batches:
+            if dpb is None:
+                continue
+            with stage("traceback", unit="reads") as s:
+                results = finish_alignment(dpb, cfg)
+                s.add(len(dpb.reads))
+
+            def one(args):
+                r, (ops, ws) = args
                 if ops is None:
-                    errors["Not in alignment sam"].append(r.path)
-                    continue
+                    return r, None, "Not in alignment sam"
                 payload, err = annotate_one(r, ops, ws, fasta, cfg)
-                if payload is None:
-                    errors[err].append(r.path)
-                    continue
-                try:
-                    write_corrected_events(r.path, **payload,
-                                           basecall_group=cfg.basecall_1d)
-                    n_ok += 1
-                except OSError:
-                    errors["Cannot save data"].append(r.path)
-            s.add(len(bucket_reads))
+                return r, payload, err
+            # the correction core (ctypes) and numpy release the GIL, so a
+            # thread pool parallelizes annotate across reads
+            with stage("annotate", unit="reads") as s:
+                annotated = list(ex.map(one, zip(dpb.reads, results)))
+                s.add(len(dpb.reads))
+            with stage("write", unit="reads") as s:
+                for r, payload, err in annotated:
+                    if payload is None:
+                        errors[err].append(r.path)
+                        continue
+                    try:
+                        write_corrected_events(r.path, **payload,
+                                               basecall_group=cfg.basecall_1d)
+                        n_ok += 1
+                    except OSError:
+                        errors["Cannot save data"].append(r.path)
+                s.add(len(dpb.reads))
     return n_ok, dict(errors), dict(signal_hist)
 
 

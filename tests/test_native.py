@@ -143,3 +143,112 @@ def test_native_traceback_matches_python():
     ops_py = traceback(tb[0], int(bi[0]), int(bk[0]), M)
     ops_c = traceback_native(tb[0], int(bi[0]), int(bk[0]))
     assert ops_c == ops_py
+
+
+def _planted_batch(rng, n_reads, genome_len=900, frag=(80, 520)):
+    """Random genome + error-planted fragments encoded for banded_sw."""
+    from nanomod_tpu.resquiggle.seed import encode
+
+    genome = "".join(rng.choice(BASES, genome_len))
+    reads = []
+    for _ in range(n_reads):
+        fr = list(genome[frag[0]: frag[1]])
+        for _ in range(14):
+            i = rng.integers(1, len(fr) - 1)
+            r = rng.random()
+            if r < 0.4:
+                fr[i] = str(rng.choice(BASES))
+            elif r < 0.7:
+                fr[i] = fr[i] + str(rng.choice(BASES))
+            else:
+                fr[i] = ""
+        reads.append("".join(fr))
+    W = 128
+    M = max(len(r) for r in reads)
+    ws = frag[0] - W // 2
+    read_codes = np.full((n_reads, M), 4, np.uint8)
+    ref_codes = np.full((n_reads, M + W), 5, np.uint8)
+    lens = np.zeros(n_reads, np.int32)
+    for i, r in enumerate(reads):
+        lens[i] = len(r)
+        read_codes[i, : len(r)] = encode(r).astype(np.uint8)
+        rc = encode(genome[max(ws, 0): ws + M + W]).astype(np.uint8)
+        ref_codes[i, : len(rc)] = rc
+    return read_codes, ref_codes, lens
+
+
+@pytest.mark.skipif(not native_available("traceback"),
+                    reason="no C++ toolchain")
+def test_batch_traceback_packed_matches_python():
+    """traceback_batch (packed and unpacked) must reproduce the Python
+    walker op-for-op across a whole batch."""
+    from nanomod_tpu.resquiggle.banded import (banded_sw, ops_to_arrays,
+                                               pack_tb, traceback,
+                                               traceback_batch_native)
+
+    rng = np.random.default_rng(7)
+    read_codes, ref_codes, lens = _planted_batch(rng, 9)
+    tb, best, bi, bk = banded_sw(read_codes, ref_codes, lens)
+    tb = np.asarray(tb)
+    tbp = np.asarray(pack_tb(tb))
+    bi = np.asarray(bi)
+    bk = np.asarray(bk)
+
+    got_plain = traceback_batch_native(tb, bi, bk, packed=False, nthreads=3)
+    got_packed = traceback_batch_native(tbp, bi, bk, packed=True, nthreads=3)
+    for b in range(len(lens)):
+        want = ops_to_arrays(traceback(tb[b], int(bi[b]), int(bk[b]),
+                                       int(lens[b])))
+        for got in (got_plain[b], got_packed[b]):
+            for w_arr, g_arr in zip(want, got):
+                np.testing.assert_array_equal(w_arr, g_arr)
+
+
+def test_annotate_one_native_matches_python_path(tmp_path):
+    """annotate_one's vectorized native path must produce the same payload
+    as the pure-Python specification path on real pipeline reads."""
+    import os
+
+    from fixtures import make_genome, make_raw_dataset
+    from nanomod_tpu.config import AnnotateConfig, replace
+    from nanomod_tpu.io.fasta import FastaIndex
+    from nanomod_tpu.resquiggle.pipeline import (align_batch, annotate_one,
+                                                 prepare_read)
+    from nanomod_tpu.resquiggle.seed import SeedIndex
+
+    chrom, genome = make_genome(length=700, seed=11)
+    fasta_p = str(tmp_path / "ref.fa")
+    with open(fasta_p, "w") as f:
+        f.write(f">{chrom}\n{genome}\n")
+    rd_dir = str(tmp_path / "reads")
+    make_raw_dataset(rd_dir, chrom, genome, n_reads=10, seed=12,
+                     error_rate=0.04)
+    cfg = replace(AnnotateConfig(ref_fasta=fasta_p), use_pallas_dp=False)
+    cfg_py = replace(cfg, use_native=False)
+    fasta = FastaIndex(fasta_p)
+    sidx = SeedIndex(fasta.seqs, k=cfg.seed_k)
+
+    prepared = []
+    for name in sorted(os.listdir(rd_dir)):
+        rd, _ = prepare_read(os.path.join(rd_dir, name), cfg, sidx, None)
+        if rd is not None:
+            prepared.append(rd)
+    assert len(prepared) >= 8
+    results = align_batch(prepared, fasta, cfg)
+    n_checked = 0
+    for r, (ops, ws) in zip(prepared, results):
+        if ops is None:
+            continue
+        pay_c, err_c = annotate_one(r, ops, ws, fasta, cfg)
+        pay_p, err_p = annotate_one(r, ops, ws, fasta, cfg_py)
+        assert (pay_c is None) == (pay_p is None) and err_c == err_p
+        if pay_c is None:
+            continue
+        n_checked += 1
+        for key in pay_p:
+            a, b = pay_c[key], pay_p[key]
+            if isinstance(b, np.ndarray):
+                np.testing.assert_array_equal(a, b, err_msg=key)
+            else:
+                assert a == b, (key, a, b)
+    assert n_checked >= 6
