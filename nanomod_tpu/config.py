@@ -146,6 +146,9 @@ class AnnotateConfig:
     # use the Pallas DP kernel on accelerator backends (falls back to the
     # lax.scan implementation on CPU)
     use_pallas_dp: bool = True
+    # reads per banded-DP dispatch: sub-batching lets the D2H fetch of one
+    # sub-batch overlap the device DP of the next (new)
+    dp_batch_size: int = 64
     # skip FAST5s that already carry a NanomoCorrected_000 group — resume
     # after an interrupted run (new; the reference always rewrites,
     # ref myRefBaseSignalAnnotation.py:706-714)

@@ -109,13 +109,14 @@ class DPBatch:
 
 
 def dispatch_dp(reads: List[PreparedRead], fasta: FastaIndex,
-                cfg: AnnotateConfig) -> Optional[DPBatch]:
+                cfg: AnnotateConfig, pad_bsz: int = 0) -> Optional[DPBatch]:
     """Build + dispatch the banded DP for a length-bucketed batch.
 
     Returns immediately (JAX dispatch is async) so the device computes
     while the host annotates a previous batch.  The traceback matrix is
     nibble-packed on device when the native walker is available — halves
-    the D2H transfer, which dominates on tunneled chips.
+    the D2H transfer, which dominates on tunneled chips.  pad_bsz pads the
+    batch dimension to a fixed size so sub-batches share one jit shape.
     """
     if not reads:
         return None
@@ -123,7 +124,7 @@ def dispatch_dp(reads: List[PreparedRead], fasta: FastaIndex,
     use_pallas = cfg.use_pallas_dp and pallas_supported()
     w = cfg.band_width
     m = _length_bucket(max(len(r.fwd_seq) for r in reads))
-    bsz = len(reads)
+    bsz = max(len(reads), pad_bsz)
     if use_pallas:
         bsz = ((bsz + 7) // 8) * 8         # pallas kernel: 8 reads/program
     read_codes = np.full((bsz, m), 4, np.uint8)
@@ -373,30 +374,19 @@ def annotate_one(read: PreparedRead, ops, win_start: int, fasta: FastaIndex,
                     clip_s, clip_e, numins, numdel, nmatch, nummismatch)
 
 
-def annotate_files(paths: List[str], cfg: AnnotateConfig,
-                   fasta: Optional[FastaIndex] = None,
-                   seed_index: Optional[SeedIndex] = None):
-    """Annotate a batch of FAST5s in place.
+def prepare_batch(paths: List[str], cfg: AnnotateConfig,
+                  seed_index: SeedIndex, kmer_model):
+    """Load + extract + normalize + seed a batch of FAST5s (thread pool —
+    h5py releases the GIL, covering the reference's multiprocessing use,
+    ref myRefBaseSignalAnnotation.py:1466-1471).
 
-    Returns (n_ok, errors {key: [paths]}, signalnum histogram) — the
-    reference's error taxonomy + resegment-window histogram
-    (ref :1485-1494).
+    Returns (prepared reads, errors {key: [paths]}).
     """
-    fasta = fasta or FastaIndex(cfg.ref_fasta)
-    seed_index = seed_index or SeedIndex(fasta.seqs, k=cfg.seed_k)
-    kmer_model = (load_kmer_model(cfg.kmer_model_file)
-                  if cfg.kmer_model_file and os.path.isfile(cfg.kmer_model_file)
-                  else None)
-
-    errors = defaultdict(list)
-    signal_hist = defaultdict(int)
-    prepared = []
-    # the prepare phase is HDF5/numpy bound; h5py releases the GIL during
-    # reads, so a thread pool covers the reference's multiprocessing use
-    # (ref myRefBaseSignalAnnotation.py:1466-1471)
     from concurrent.futures import ThreadPoolExecutor
 
     from nanomod_tpu.utils.observe import stage
+    errors = defaultdict(list)
+    prepared = []
     workers = max(1, min(cfg.threads, 16))
     with stage("prepare", unit="reads") as s, \
             ThreadPoolExecutor(max_workers=workers) as ex:
@@ -407,25 +397,60 @@ def annotate_files(paths: List[str], cfg: AnnotateConfig,
             else:
                 prepared.append(rd)
         s.add(len(paths))
+    return prepared, errors
 
-    # bucket by length for batched alignment
+
+def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
+                     fasta: FastaIndex):
+    """Align + correct + write-back a list of prepared reads.
+
+    Pipelined: buckets are split into sub-batches of cfg.dp_batch_size and
+    every sub-batch's DP is dispatched up front (JAX dispatch is async), so
+    the device computes sub-batch k+1 while the host fetches/tracebacks/
+    annotates k; FAST5 write-back runs on a background thread and overlaps
+    the next fetch.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nanomod_tpu.utils.observe import stage
+
+    errors = defaultdict(list)
     buckets: Dict[int, List[PreparedRead]] = defaultdict(list)
     for r in prepared:
         buckets[_length_bucket(len(r.fwd_seq))].append(r)
 
-    # dispatch every bucket's banded DP up front (JAX dispatch is async):
-    # the device crunches bucket k+1 while the host tracebacks/annotates
-    # bucket k
+    sub = max(8, cfg.dp_batch_size)
     dp_batches = []
     with stage("align_dp", unit="reads") as s:
         for bucket_reads in buckets.values():
-            dp_batches.append(dispatch_dp(bucket_reads, fasta, cfg))
+            for lo in range(0, len(bucket_reads), sub):
+                part = bucket_reads[lo: lo + sub]
+                dp_batches.append(dispatch_dp(
+                    part, fasta, cfg,
+                    pad_bsz=sub if len(bucket_reads) > sub else 0))
             s.add(len(bucket_reads))
 
     n_ok = 0
-    from concurrent.futures import ThreadPoolExecutor
+    write_errors: List[str] = []
     workers = max(1, min(cfg.threads, 16))
-    with ThreadPoolExecutor(max_workers=workers) as ex:
+
+    def write_many(annotated):
+        ok = 0
+        for r, payload, err in annotated:
+            if payload is None:
+                errors[err].append(r.path)
+                continue
+            try:
+                write_corrected_events(r.path, **payload,
+                                       basecall_group=cfg.basecall_1d)
+                ok += 1
+            except OSError:
+                write_errors.append(r.path)
+        return ok
+
+    with ThreadPoolExecutor(max_workers=workers) as ex, \
+            ThreadPoolExecutor(max_workers=1) as writer:
+        pending = []
         for dpb in dp_batches:
             if dpb is None:
                 continue
@@ -444,19 +469,35 @@ def annotate_files(paths: List[str], cfg: AnnotateConfig,
             with stage("annotate", unit="reads") as s:
                 annotated = list(ex.map(one, zip(dpb.reads, results)))
                 s.add(len(dpb.reads))
-            with stage("write", unit="reads") as s:
-                for r, payload, err in annotated:
-                    if payload is None:
-                        errors[err].append(r.path)
-                        continue
-                    try:
-                        write_corrected_events(r.path, **payload,
-                                               basecall_group=cfg.basecall_1d)
-                        n_ok += 1
-                    except OSError:
-                        errors["Cannot save data"].append(r.path)
-                s.add(len(dpb.reads))
-    return n_ok, dict(errors), dict(signal_hist)
+            pending.append(writer.submit(write_many, annotated))
+        with stage("write", unit="reads") as s:
+            for fut in pending:
+                n_ok += fut.result()
+            s.add(len(prepared))
+    for p in write_errors:
+        errors["Cannot save data"].append(p)
+    return n_ok, dict(errors)
+
+
+def annotate_files(paths: List[str], cfg: AnnotateConfig,
+                   fasta: Optional[FastaIndex] = None,
+                   seed_index: Optional[SeedIndex] = None):
+    """Annotate a batch of FAST5s in place.
+
+    Returns (n_ok, errors {key: [paths]}, signalnum histogram) — the
+    reference's error taxonomy + resegment-window histogram
+    (ref :1485-1494).
+    """
+    fasta = fasta or FastaIndex(cfg.ref_fasta)
+    seed_index = seed_index or SeedIndex(fasta.seqs, k=cfg.seed_k)
+    kmer_model = (load_kmer_model(cfg.kmer_model_file)
+                  if cfg.kmer_model_file and os.path.isfile(cfg.kmer_model_file)
+                  else None)
+    prepared, errors = prepare_batch(paths, cfg, seed_index, kmer_model)
+    n_ok, perrors = process_prepared(prepared, cfg, fasta)
+    for k, v in perrors.items():
+        errors[k].extend(v)
+    return n_ok, dict(errors), {}
 
 
 def annotate_folder(cfg: AnnotateConfig):
@@ -479,18 +520,35 @@ def annotate_folder(cfg: AnnotateConfig):
               f"{len(paths)} to do")
     fasta = FastaIndex(cfg.ref_fasta)
     seed_index = SeedIndex(fasta.seqs, k=cfg.seed_k)
+    kmer_model = (load_kmer_model(cfg.kmer_model_file)
+                  if cfg.kmer_model_file and os.path.isfile(cfg.kmer_model_file)
+                  else None)
     total_ok = 0
     all_errors = defaultdict(list)
-    for lo in range(0, len(paths), cfg.files_per_thread):
-        batch = paths[lo: lo + cfg.files_per_thread]
-        n_ok, errors, _ = annotate_files(batch, cfg, fasta, seed_index)
-        total_ok += n_ok
-        for k, v in errors.items():
-            all_errors[k].extend(v)
-        done = min(lo + cfg.files_per_thread, len(paths))
-        dt = time.time() - start
-        if cfg.out_level <= 1 and done < len(paths):
-            print(f"{done}/{len(paths)} reads, {done / max(dt, 1e-9):.1f} reads/s")
+    chunks = [paths[lo: lo + cfg.files_per_thread]
+              for lo in range(0, len(paths), cfg.files_per_thread)]
+    # prefetch: prepare chunk k+1 (HDF5-bound) on a background thread while
+    # chunk k runs its device DP + correction + write-back
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as prefetcher:
+        fut = (prefetcher.submit(prepare_batch, chunks[0], cfg, seed_index,
+                                 kmer_model) if chunks else None)
+        for ci, batch in enumerate(chunks):
+            prepared, errors = fut.result()
+            fut = (prefetcher.submit(prepare_batch, chunks[ci + 1], cfg,
+                                     seed_index, kmer_model)
+                   if ci + 1 < len(chunks) else None)
+            n_ok, perrors = process_prepared(prepared, cfg, fasta)
+            for k, v in perrors.items():
+                errors[k].extend(v)
+            total_ok += n_ok
+            for k, v in errors.items():
+                all_errors[k].extend(v)
+            done = min((ci + 1) * cfg.files_per_thread, len(paths))
+            dt = time.time() - start
+            if cfg.out_level <= 1 and done < len(paths):
+                print(f"{done}/{len(paths)} reads, "
+                      f"{done / max(dt, 1e-9):.1f} reads/s")
     dt = time.time() - start
     print("Error information for different fast5 files:")
     for k, v in all_errors.items():
