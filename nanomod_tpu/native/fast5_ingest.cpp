@@ -14,6 +14,8 @@
 // (ref layout: myRefBaseSignalAnnotation.py:689-742, myCom.py:48-59) from
 // many FAST5s into flat, concatenated column buffers.
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -870,6 +872,379 @@ CorrectedRead parse_corrected_file(const char* path) {
 }
 
 // ---------------------------------------------------------------------------
+// Raw-read prepare (the Annotate ingest payload): parse raw signal +
+// basecall tables, extract per-base events (albacore1/2 + guppy dialects,
+// ref myRefBaseSignalAnnotation.py:141-310) and apply the median/MAD
+// normalization (ref :245-259) — the native fast path for
+// resquiggle/pipeline.prepare_batch.  signal/events.py and
+// signal/normalize.py are the Python specification; outputs match
+// bit-for-bit (np.median two-middle averaging, np.round half-even).
+// ---------------------------------------------------------------------------
+
+void btree_children(const Buf& b, const Super& s, u64 btree_addr,
+                    u64 heap_addr,
+                    std::vector<std::pair<std::string, u64>>& out) {
+    u64 t = btree_addr + s.base;
+    if (memcmp(b.at(t, 4), "TREE", 4) != 0) throw ParseError("bad btree");
+    int level = b.u8_(t + 5);
+    int used = b.u16_(t + 6);
+    u64 m = t + 8 + 2 * s.sizeoff + s.sizelen;
+    for (int i = 0; i < used; i++) {
+        u64 child = rdoff(b, m, s); m += s.sizeoff + s.sizelen;
+        if (level > 0) {
+            btree_children(b, s, child, heap_addr, out);
+        } else {
+            u64 snod = child + s.base;
+            if (memcmp(b.at(snod, 4), "SNOD", 4) != 0) throw ParseError("bad SNOD");
+            int nsym = b.u16_(snod + 6);
+            u64 e = snod + 8;
+            for (int k = 0; k < nsym; k++) {
+                u64 name_off = rdoff(b, e, s);
+                u64 hdr = rdoff(b, e + s.sizeoff, s);
+                out.emplace_back(heap_name(b, s, heap_addr, name_off), hdr);
+                e += 2 * s.sizeoff + 4 + 4 + 16;
+            }
+        }
+    }
+}
+
+std::vector<std::pair<std::string, u64>> list_children(
+        const Buf& b, const Super& s, const Object& grp) {
+    std::vector<std::pair<std::string, u64>> out;
+    if (grp.btree != UNDEF && grp.heap != UNDEF)
+        btree_children(b, s, grp.btree, grp.heap, out);
+    for (auto& l : grp.links) out.push_back(l);
+    std::sort(out.begin(), out.end());
+    return out;
+}
+
+double attr_double(const Buf& b, const Attr& a) {
+    if (a.dtype.cls == 1) {
+        if (a.dtype.size == 8) { double v; memcpy(&v, b.at(a.data_off, 8), 8); return v; }
+        if (a.dtype.size == 4) { float v; memcpy(&v, b.at(a.data_off, 4), 4); return (double)v; }
+    }
+    if (a.dtype.cls == 0) return (double)attr_int(b, a);
+    throw ParseError("attribute is not numeric");
+}
+
+std::string global_heap_string(const Buf& b, const Super& s, u64 data_off) {
+    u32 len = b.u32_(data_off);
+    u64 gcol = rdoff(b, data_off + 4, s) + s.base;
+    u32 idx = b.u32_(data_off + 4 + s.sizeoff);
+    if (memcmp(b.at(gcol, 4), "GCOL", 4) != 0) throw ParseError("bad global heap");
+    u64 m = gcol + 8 + s.sizelen;
+    u64 end = gcol + rdlen(b, gcol + 8, s);
+    while (m + 8 + s.sizelen <= end) {
+        u16 oi = b.u16_(m);
+        u64 osz = rdlen(b, m + 8, s);
+        u64 data = m + 8 + s.sizelen;
+        if (oi == idx) {
+            const char* v = (const char*)b.at(data, osz);
+            return std::string(v, std::min<u64>(len, osz));
+        }
+        if (oi == 0) break;
+        m = data + ((osz + 7) / 8) * 8;
+    }
+    throw ParseError("global heap object not found");
+}
+
+// whole-dataset string (fixed-length scalar or vlen scalar)
+std::string dataset_string(const Buf& b, const Super& s, const Object& obj) {
+    std::vector<u8> raw = read_dataset(b, s, obj);
+    if (obj.dtype.cls == 3) {
+        const char* v = (const char*)raw.data();
+        return std::string(v, strnlen(v, raw.size()));
+    }
+    if (obj.dtype.cls == 9 && obj.dtype.vlen_string) {
+        // scalar vlen: the (len, heap addr, idx) triple lives at the data
+        // location; resolve it against the file buffer
+        if (obj.layout_class == 1 && obj.data_addr != UNDEF)
+            return global_heap_string(b, s, obj.data_addr + s.base);
+        if (obj.layout_class == 0)
+            return global_heap_string(b, s, obj.compact_off);
+        throw ParseError("unsupported vlen dataset layout");
+    }
+    throw ParseError("dataset is not a string");
+}
+
+struct RawPrepared {
+    int err = 0;                  // 0 ok, 1..8 taxonomy, 9 = python fallback
+    std::string id_line;          // fastq header line (sans '@')
+    std::string seq;              // one base per event
+    std::vector<int64_t> ev_start, ev_length;
+    std::vector<double> norm_signal;
+};
+
+// error taxonomy codes (see prepare_bind.py PREP_ERRORS)
+enum {
+    E_OK = 0, E_OPEN = 1, E_CHANNEL = 2, E_RAWSIG = 3, E_FASTQ = 4,
+    E_EVENTS = 5, E_TRIM_LEFT = 6, E_TRIM_RIGHT = 7, E_FIRST_INDEX = 8,
+    E_FALLBACK = 9,
+};
+
+inline double round_dec(double x, double scale) {
+    return std::nearbyint(x * scale) / scale;
+}
+
+// np.median on a scratch copy (partial sort; even n averages two middles)
+double median_of(std::vector<double>& scratch) {
+    size_t n = scratch.size();
+    if (n == 0) return 0.0;
+    size_t h = n / 2;
+    std::nth_element(scratch.begin(), scratch.begin() + h, scratch.end());
+    double hi = scratch[h];
+    if (n % 2 == 1) return hi;
+    double lo = *std::max_element(scratch.begin(), scratch.begin() + h);
+    return (lo + hi) / 2.0;
+}
+
+// mnormalized (ref :245-259): stats over [lo,hi), transform whole array,
+// winsorize at ±5 MAD, round to 3 decimals
+void mad_normalize(std::vector<double>& raw, int64_t lo, int64_t hi) {
+    std::vector<double> scratch(raw.begin() + lo, raw.begin() + hi);
+    double mshift = median_of(scratch);
+    for (auto& v : scratch) v = std::fabs(v - mshift);
+    double mscale = median_of(scratch);
+    for (auto& v : raw) v = (v - mshift) / mscale;
+    scratch.assign(raw.begin() + lo, raw.begin() + hi);
+    double med = median_of(scratch);
+    for (auto& v : scratch) v = std::fabs(v - med);
+    double mad = median_of(scratch);
+    double cl = med - 5.0 * mad, ch = med + 5.0 * mad;
+    for (auto& v : raw) {
+        if (v < cl) v = cl;
+        else if (v > ch) v = ch;
+        v = round_dec(v, 1000.0);
+    }
+}
+
+struct EventCols {
+    std::vector<double> mean, stdv, start, length;
+    std::vector<double> move;
+    std::vector<char> center;      // model_state[2]
+    u64 n = 0;
+};
+
+bool load_event_table(const Buf& b, const Super& s, const Object& ev,
+                      EventCols& c) {
+    if (ev.dtype.cls != 6 || !ev.has_dspace) return false;
+    u64 n = ev.dspace.npoints();
+    std::vector<u8> rows = read_dataset(b, s, ev);
+    u32 stride = ev.dtype.size;
+    c.n = n;
+    bool has_move = false, has_start = false, has_len = false, has_state = false;
+    for (auto& m : ev.dtype.members) {
+        if (m.name == "move") {
+            c.move.resize(n); extract_field(rows, n, stride, m, c.move.data());
+            has_move = true;
+        } else if (m.name == "start") {
+            c.start.resize(n); extract_field(rows, n, stride, m, c.start.data());
+            has_start = true;
+        } else if (m.name == "length") {
+            c.length.resize(n); extract_field(rows, n, stride, m, c.length.data());
+            has_len = true;
+        } else if (m.name == "model_state") {
+            c.center.resize(n);
+            for (u64 i = 0; i < n; i++)
+                c.center[i] = (char)rows[i * stride + m.offset + 2];
+            has_state = true;
+        }
+    }
+    return has_move && has_start && has_len && has_state;
+}
+
+RawPrepared parse_raw(const u8* data, u64 size, const char* bc1d,
+                      const char* bc2s) {
+    RawPrepared r;
+    try {
+        Buf b{data, size};
+        Super s = read_superblock(b);
+
+        // channel info (sampling_rate used by the albacore1 dialect)
+        u64 ch_addr = resolve_path(b, s, "UniqueGlobalKey/channel_id");
+        if (ch_addr == UNDEF) { r.err = E_CHANNEL; return r; }
+        Object ch = read_object_header(b, s, ch_addr);
+        double sampling_rate = 0.0;
+        if (const Attr* a = find_attr(ch, "sampling_rate"))
+            sampling_rate = attr_double(b, *a);
+
+        // raw signal: first (name-sorted) read under Raw/Reads
+        u64 rr_addr = resolve_path(b, s, "Raw/Reads");
+        if (rr_addr == UNDEF) { r.err = E_RAWSIG; return r; }
+        Object rr = read_object_header(b, s, rr_addr);
+        auto kids = list_children(b, s, rr);
+        if (kids.empty()) { r.err = E_RAWSIG; return r; }
+        Object rd = read_object_header(b, s, kids[0].second);
+        int64_t raw_start_time = 0;
+        if (const Attr* a = find_attr(rd, "start_time"))
+            raw_start_time = attr_int(b, *a);
+        u64 sig_addr = find_child(b, s, rd, "Signal");
+        if (sig_addr == UNDEF) { r.err = E_RAWSIG; return r; }
+        Object sig = read_object_header(b, s, sig_addr);
+        if (!sig.has_dspace || sig.dtype.cls != 0) { r.err = E_RAWSIG; return r; }
+        u64 nsig = sig.dspace.npoints();
+        std::vector<u8> sraw = read_dataset(b, s, sig);
+        std::vector<double> raw(nsig);
+        if (sig.dtype.size == 2) {
+            for (u64 i = 0; i < nsig; i++) {
+                int16_t v; memcpy(&v, sraw.data() + 2 * i, 2);
+                raw[i] = (double)v;
+            }
+        } else if (sig.dtype.size == 4) {
+            for (u64 i = 0; i < nsig; i++) {
+                int32_t v; memcpy(&v, sraw.data() + 4 * i, 4);
+                raw[i] = (double)v;
+            }
+        } else { r.err = E_FALLBACK; return r; }
+
+        // fastq
+        std::string base = std::string("Analyses/") + bc1d + "/" + bc2s;
+        u64 fq_addr = resolve_path(b, s, (base + "/Fastq").c_str());
+        if (fq_addr == UNDEF) { r.err = E_FASTQ; return r; }
+        std::string fq = dataset_string(
+            b, s, read_object_header(b, s, fq_addr));
+        size_t l0 = fq.find('\n');
+        if (l0 == std::string::npos) { r.err = E_FASTQ; return r; }
+        size_t l1 = fq.find('\n', l0 + 1);
+        if (l1 == std::string::npos) l1 = fq.size();
+        r.id_line = fq.substr(fq[0] == '@' ? 1 : 0,
+                              l0 - (fq[0] == '@' ? 1 : 0));
+        std::string fq_seq = fq.substr(l0 + 1, l1 - l0 - 1);
+
+        // basecaller sniffing (ref :50-63)
+        std::string name, version;
+        u64 bc_addr = resolve_path(b, s, (std::string("Analyses/") + bc1d).c_str());
+        if (bc_addr != UNDEF) {
+            Object bco = read_object_header(b, s, bc_addr);
+            if (const Attr* a = find_attr(bco, "name")) name = attr_string(b, s, *a);
+            if (const Attr* a = find_attr(bco, "version")) version = attr_string(b, s, *a);
+        }
+
+        if (name.find("Guppy") != std::string::npos) {
+            // move table at stride 2 (ref getMove_Info :261-310)
+            u64 mv_addr = resolve_path(b, s, (base + "/Move").c_str());
+            if (mv_addr == UNDEF) { r.err = E_EVENTS; return r; }
+            Object mv = read_object_header(b, s, mv_addr);
+            std::vector<u8> mraw = read_dataset(b, s, mv);
+            u64 nmv = mv.dspace.npoints();
+            u32 msz = mv.dtype.size;
+            std::string bcnum = std::string(bc1d);
+            size_t us = bcnum.rfind('_');
+            std::string seg = "Analyses/Segmentation_" +
+                (us == std::string::npos ? bcnum : bcnum.substr(us + 1)) +
+                "/Summary/segmentation";
+            int64_t first = 0;
+            u64 seg_addr = resolve_path(b, s, seg.c_str());
+            if (seg_addr == UNDEF) { r.err = E_EVENTS; return r; }
+            Object sego = read_object_header(b, s, seg_addr);
+            if (const Attr* a = find_attr(sego, "first_sample_template"))
+                first = attr_int(b, *a);
+            else { r.err = E_EVENTS; return r; }
+            const int stride = 2;
+            std::vector<int64_t> pivots;
+            pivots.push_back(first);
+            for (u64 i = 1; i < nmv; i++) {
+                u64 v = 0;
+                for (u32 k = 0; k < msz && k < 8; k++)
+                    v |= (u64)mraw[i * msz + k] << (8 * k);
+                if (v == 1) pivots.push_back((int64_t)(stride * i) + first);
+            }
+            pivots.push_back((int64_t)nsig);
+            u64 nseg = pivots.size() - 1;
+            if (nseg > fq_seq.size()) nseg = fq_seq.size();
+            r.ev_start.resize(nseg); r.ev_length.resize(nseg);
+            for (u64 i = 0; i < nseg; i++) {
+                r.ev_start[i] = pivots[i];
+                r.ev_length[i] = pivots[i + 1] - pivots[i];
+            }
+            r.seq = fq_seq.substr(0, nseg);
+        } else {
+            u64 ev_addr = resolve_path(b, s, (base + "/Events").c_str());
+            if (ev_addr == UNDEF) { r.err = E_EVENTS; return r; }
+            EventCols c;
+            if (!load_event_table(b, s, read_object_header(b, s, ev_addr), c)
+                    || c.n == 0) {
+                r.err = E_EVENTS; return r;
+            }
+            int major = 0;
+            if (!version.empty()) major = atoi(version.c_str());
+            if (major >= 2) {
+                // albacore 2.x: sample-indexed (ref :226-240)
+                for (u64 i = 0; i < c.n; i++) {
+                    if (i == 0 || c.move[i] > 0) {
+                        r.ev_start.push_back((int64_t)c.start[i]);
+                        r.ev_length.push_back((int64_t)c.length[i]);
+                        r.seq.push_back(c.center[i]);
+                    } else {
+                        r.ev_length.back() += (int64_t)c.length[i];
+                    }
+                }
+            } else {
+                // albacore 1.x: time-indexed with move-0 trimming (ref :141-224)
+                if (sampling_rate <= 0.0) { r.err = E_FALLBACK; return r; }
+                int64_t lo = -1, hi = -1;
+                for (u64 i = 0; i < c.n; i++)
+                    if (c.move[i] > 0) { if (lo < 0) lo = i; hi = i; }
+                if (lo < 0 || lo > hi - 20) { r.err = E_TRIM_LEFT; return r; }
+                if (hi < lo + 20) { r.err = E_TRIM_RIGHT; return r; }
+                int64_t first = (int64_t)std::nearbyint(
+                    c.start[lo] * sampling_rate) - raw_start_time;
+                if (first < -2) { r.err = E_FIRST_INDEX; return r; }
+                if (first < 0) first = 0;
+                // group by move>0 (row lo forced), sum truncated sample lengths
+                std::vector<int64_t> lens;
+                for (int64_t i = lo; i <= hi; i++) {
+                    int64_t sl = (int64_t)(c.length[i] * sampling_rate);
+                    if (i == lo || c.move[i] > 0) {
+                        lens.push_back(sl);
+                        r.seq.push_back(c.center[i]);
+                    } else {
+                        lens.back() += sl;
+                    }
+                }
+                int64_t pos = first;
+                for (auto ln : lens) {
+                    r.ev_start.push_back(pos);
+                    r.ev_length.push_back(ln);
+                    pos += ln;
+                }
+            }
+        }
+
+        if (r.ev_start.empty()) { r.err = E_EVENTS; return r; }
+        int64_t span_lo = r.ev_start.front();
+        int64_t span_hi = r.ev_start.back() + r.ev_length.back();
+        if (span_hi > (int64_t)nsig || span_lo < 0 || span_hi <= span_lo) {
+            r.err = E_RAWSIG; return r;
+        }
+        mad_normalize(raw, span_lo, span_hi);
+        r.norm_signal = std::move(raw);
+        r.err = E_OK;
+    } catch (const std::exception&) {
+        r.err = E_FALLBACK;
+    }
+    return r;
+}
+
+RawPrepared parse_raw_file(const char* path, const char* bc1d,
+                           const char* bc2s) {
+    RawPrepared r;
+    FILE* f = fopen(path, "rb");
+    if (!f) { r.err = E_OPEN; return r; }
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<u8> buf(sz > 0 ? sz : 0);
+    if (sz > 0 && fread(buf.data(), 1, sz, f) != (size_t)sz) {
+        fclose(f);
+        r.err = E_FALLBACK;
+        return r;
+    }
+    fclose(f);
+    return parse_raw(buf.data(), buf.size(), bc1d, bc2s);
+}
+
+// ---------------------------------------------------------------------------
 // Batch API (ctypes surface)
 // ---------------------------------------------------------------------------
 
@@ -947,5 +1322,68 @@ void f5_batch_fill(void* h, double* norm_mean, double* norm_stdev,
 }
 
 void f5_batch_free(void* h) { delete (Batch*)h; }
+
+// --- raw-read prepare batch (Annotate ingest) ------------------------------
+
+struct RawBatch {
+    std::vector<RawPrepared> reads;
+};
+
+void* f5_prepare_batch(const char** paths, int64_t n, const char* bc1d,
+                       const char* bc2s, int nthreads) {
+    RawBatch* batch = new RawBatch();
+    batch->reads.resize(n);
+    if (nthreads < 1) nthreads = 1;
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n) break;
+            batch->reads[i] = parse_raw_file(paths[i], bc1d, bc2s);
+        }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < nthreads; t++) ts.emplace_back(worker);
+    worker();
+    for (auto& t : ts) t.join();
+    return batch;
+}
+
+// per-read error code + element counts; returns 0
+int64_t f5_prepare_sizes(void* h, int32_t* err, int64_t* n_ev,
+                         int64_t* n_sig, int64_t* id_len) {
+    RawBatch* b = (RawBatch*)h;
+    for (size_t i = 0; i < b->reads.size(); i++) {
+        RawPrepared& r = b->reads[i];
+        err[i] = r.err;
+        // failed reads contribute nothing to the concatenated buffers
+        n_ev[i] = r.err == E_OK ? (int64_t)r.ev_start.size() : 0;
+        n_sig[i] = r.err == E_OK ? (int64_t)r.norm_signal.size() : 0;
+        id_len[i] = r.err == E_OK ? (int64_t)r.id_line.size() : 0;
+    }
+    return 0;
+}
+
+// fill concatenated outputs (caller computes offsets from the size arrays)
+void f5_prepare_fill(void* h, double* norm_signal, int64_t* ev_start,
+                     int64_t* ev_length, char* seq, char* ids) {
+    RawBatch* b = (RawBatch*)h;
+    u64 so = 0, eo = 0, io = 0;
+    for (size_t i = 0; i < b->reads.size(); i++) {
+        RawPrepared& r = b->reads[i];
+        if (r.err != E_OK) continue;
+        memcpy(norm_signal + so, r.norm_signal.data(),
+               r.norm_signal.size() * 8);
+        so += r.norm_signal.size();
+        memcpy(ev_start + eo, r.ev_start.data(), r.ev_start.size() * 8);
+        memcpy(ev_length + eo, r.ev_length.data(), r.ev_length.size() * 8);
+        memcpy(seq + eo, r.seq.data(), r.seq.size());
+        eo += r.ev_start.size();
+        memcpy(ids + io, r.id_line.data(), r.id_line.size());
+        io += r.id_line.size();
+    }
+}
+
+void f5_prepare_free(void* h) { delete (RawBatch*)h; }
 
 }  // extern "C"

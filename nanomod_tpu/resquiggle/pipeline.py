@@ -374,11 +374,31 @@ def annotate_one(read: PreparedRead, ops, win_start: int, fasta: FastaIndex,
                     clip_s, clip_e, numins, numdel, nmatch, nummismatch)
 
 
+def _seed_and_wrap(path: str, read_id: str, seq: str, ev_start, ev_length,
+                   norm_signal, seed_index: SeedIndex):
+    """Seed a prepared read and build the PreparedRead (shared by the
+    native and Python prepare paths)."""
+    hit = seed_index.best_band(seq)
+    if hit is None or hit.votes < 3:
+        return None, "Not in alignment sam"
+    from nanomod_tpu.io.fasta import revcomp
+    fwd_seq = seq if hit.strand == "+" else revcomp(seq)
+    return PreparedRead(
+        path=path, read_id=read_id, fwd_seq=fwd_seq, chrom=hit.chrom,
+        strand=hit.strand, diag=hit.diag, events_start=ev_start,
+        events_length=ev_length, norm_signal=norm_signal,
+    ), ""
+
+
 def prepare_batch(paths: List[str], cfg: AnnotateConfig,
                   seed_index: SeedIndex, kmer_model):
-    """Load + extract + normalize + seed a batch of FAST5s (thread pool —
-    h5py releases the GIL, covering the reference's multiprocessing use,
-    ref myRefBaseSignalAnnotation.py:1466-1471).
+    """Load + extract + normalize + seed a batch of FAST5s.
+
+    Fast path: the native raw-FAST5 reader (fast5_ingest.cpp f5_prepare_*)
+    parses, extracts events and MAD-normalizes in threaded C++; only
+    seeding runs in Python.  Falls back to the h5py/numpy path per read
+    (thread pool — h5py releases the GIL, covering the reference's
+    multiprocessing use, ref myRefBaseSignalAnnotation.py:1466-1471).
 
     Returns (prepared reads, errors {key: [paths]}).
     """
@@ -388,15 +408,43 @@ def prepare_batch(paths: List[str], cfg: AnnotateConfig,
     errors = defaultdict(list)
     prepared = []
     workers = max(1, min(cfg.threads, 16))
-    with stage("prepare", unit="reads") as s, \
-            ThreadPoolExecutor(max_workers=workers) as ex:
-        for p, (rd, err) in zip(paths, ex.map(
-                lambda q: prepare_read(q, cfg, seed_index, kmer_model), paths)):
-            if rd is None:
-                errors[err].append(p)
-            else:
-                prepared.append(rd)
-        s.add(len(paths))
+    n_total = len(paths)
+
+    native_res = None
+    if cfg.use_native and kmer_model is None:
+        # the k-mer-calibration variant needs the basecall event means,
+        # which the native fast path does not surface — use Python there
+        from nanomod_tpu.native.prepare_bind import native_prepare_batch
+        native_res = native_prepare_batch(
+            paths, cfg.basecall_1d, cfg.basecall_2strand, nthreads=workers)
+
+    with stage("prepare", unit="reads") as s:
+        if native_res is not None:
+            fallback = []
+            for p, r in zip(paths, native_res):
+                if r is None:                     # unclassified: retry h5py
+                    fallback.append(p)
+                elif isinstance(r, str):
+                    errors[r].append(p)
+                else:
+                    rd, err = _seed_and_wrap(
+                        p, r.read_id, r.seq, r.ev_start, r.ev_length,
+                        r.norm_signal, seed_index)
+                    if rd is None:
+                        errors[err].append(p)
+                    else:
+                        prepared.append(rd)
+            paths = fallback
+        if paths:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                for p, (rd, err) in zip(paths, ex.map(
+                        lambda q: prepare_read(q, cfg, seed_index, kmer_model),
+                        paths)):
+                    if rd is None:
+                        errors[err].append(p)
+                    else:
+                        prepared.append(rd)
+        s.add(n_total)
     return prepared, errors
 
 

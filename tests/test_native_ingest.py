@@ -7,6 +7,8 @@ the HDF5 feature matrix h5py can produce (object-header v1/v2, chunk
 indexing v1-btree / single-chunk / fixed-array, deflate + shuffle filters,
 contiguous layout, both strands)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -118,3 +120,64 @@ def test_detect_ingest_uses_native(tmp_path, monkeypatch):
                                       pools_h5py[k].counts)
         np.testing.assert_array_equal(pools_native[k].values,
                                       pools_h5py[k].values)
+
+
+def test_native_raw_prepare_matches_python(tmp_path):
+    """The C++ raw-read prepare (parse + event extraction + MAD normalize)
+    must reproduce the Python specification bit-for-bit."""
+    import numpy as np
+
+    from fixtures import make_genome, make_raw_dataset
+    from nanomod_tpu.io.fast5 import read_raw_basecall
+    from nanomod_tpu.native.prepare_bind import native_prepare_batch
+    from nanomod_tpu.signal.events import extract_events
+    from nanomod_tpu.signal.normalize import mad_normalize
+
+    chrom, genome = make_genome(length=1200, seed=5)
+    rd_dir = str(tmp_path / "reads")
+    make_raw_dataset(rd_dir, chrom, genome, n_reads=10, seed=6,
+                     read_len=900, error_rate=0.03)
+    paths = sorted(os.path.join(rd_dir, f) for f in os.listdir(rd_dir))
+    res = native_prepare_batch(paths, "Basecall_1D_000",
+                               "BaseCalled_template", 2)
+    if res is None:
+        pytest.skip("no C++ toolchain")
+    for p, r in zip(paths, res):
+        raw, err = read_raw_basecall(p)
+        assert raw is not None, err
+        ev = extract_events(raw)
+        span = (int(ev.start[0]), int(ev.start[-1] + ev.length[-1]))
+        norm = mad_normalize(raw.raw_signal, span, None)
+        assert not isinstance(r, (str, type(None))), (p, r)
+        assert r.read_id == raw.read_id
+        assert r.seq == ev.seq
+        np.testing.assert_array_equal(r.ev_start, ev.start.astype(np.int64))
+        np.testing.assert_array_equal(r.ev_length, ev.length.astype(np.int64))
+        np.testing.assert_array_equal(r.norm_signal, norm)
+
+
+def test_native_raw_prepare_error_taxonomy(tmp_path):
+    """Broken FAST5s map to the reference's error keys or fall back."""
+    from nanomod_tpu.native.prepare_bind import native_prepare_batch
+
+    import h5py
+    # missing fastq
+    p1 = str(tmp_path / "nofq.fast5")
+    with h5py.File(p1, "w") as f:
+        f.create_group("UniqueGlobalKey/channel_id").attrs["sampling_rate"] = 4000.0
+        g = f.create_group("Raw/Reads/Read_0")
+        g.attrs["start_time"] = 0
+        g.create_dataset("Signal", data=np.zeros(10, np.int16))
+    # not an HDF5 file
+    p2 = str(tmp_path / "junk.fast5")
+    with open(p2, "wb") as f:
+        f.write(b"not hdf5 at all")
+    # missing entirely
+    p3 = str(tmp_path / "missing.fast5")
+    res = native_prepare_batch([p1, p2, p3], "Basecall_1D_000",
+                               "BaseCalled_template", 1)
+    if res is None:
+        pytest.skip("no C++ toolchain")
+    assert res[0] == "No Fastq data"
+    assert res[1] is None           # unclassified -> python fallback
+    assert res[2] == "Cannot open fast5"
