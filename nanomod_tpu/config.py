@@ -148,7 +148,11 @@ class AnnotateConfig:
     use_pallas_dp: bool = True
     # reads per banded-DP dispatch: sub-batching lets the D2H fetch of one
     # sub-batch overlap the device DP of the next (new)
-    dp_batch_size: int = 64
+    dp_batch_size: int = 128
+    # walk the DP traceback on device (lax.scan over all reads in lockstep)
+    # so only per-step op codes cross the device->host link instead of the
+    # [M, W] traceback matrix (new)
+    use_device_walk: bool = True
     # skip FAST5s that already carry a NanomoCorrected_000 group — resume
     # after an interrupted run (new; the reference always rewrites,
     # ref myRefBaseSignalAnnotation.py:706-714)

@@ -147,10 +147,10 @@ def write_corrected_events(
         al.attrs["num_matches"] = num_matches
         al.attrs["num_mismatches"] = num_mismatches
         al.attrs["Bcinfo"] = basecall_group
-        al.create_dataset(READ_ALIGNMENT, data=read_alignment, compression="gzip")
-        al.create_dataset(GENOME_ALIGNMENT, data=genome_alignment, compression="gzip")
+        al.create_dataset(READ_ALIGNMENT, data=read_alignment, compression="gzip", compression_opts=1)
+        al.create_dataset(GENOME_ALIGNMENT, data=genome_alignment, compression="gzip", compression_opts=1)
         bc.create_dataset(EVENTS, data=events.astype(CORRECTED_EVENTS_DTYPE),
-                          compression="gzip")
+                          compression="gzip", compression_opts=1)
 
 
 def iter_fast5_files(base: str, recursive: bool = True,

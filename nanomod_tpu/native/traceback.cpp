@@ -88,6 +88,61 @@ extern "C" int64_t traceback_one(
     return walk<false>(tb, w, best_i, best_k, w, ops_type, ops_a, ops_b, cap);
 }
 
+// Decode device-walk op codes (banded.walk_device: 0 stop, 1 M, 2 I, 3 D,
+// 3'->5' walk order) into the (type, a, b) op arrays of traceback_batch.
+// codes is [B, S] row-major; outputs are [B, cap] with out_n[b] counts.
+extern "C" void decode_walk_batch(
+    const uint8_t* codes, int64_t bsz, int64_t s,
+    const int32_t* best_i, const int32_t* best_k,
+    int32_t* ops_type, int32_t* ops_a, int32_t* ops_b,
+    int64_t cap, int64_t* out_n, int nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > bsz) nthreads = (int)bsz;
+    auto run = [&](int64_t lo, int64_t hi) {
+        for (int64_t b = lo; b < hi; ++b) {
+            const uint8_t* row = codes + b * s;
+            int32_t* ot = ops_type + b * cap;
+            int32_t* oa = ops_a + b * cap;
+            int32_t* ob = ops_b + b * cap;
+            int64_t i = best_i[b], k = best_k[b], n = 0;
+            for (int64_t t = 0; t < s && n < cap; ++t) {
+                uint8_t c = row[t];
+                if (c == 0) break;
+                if (c == 1) {
+                    ot[n] = 0; oa[n] = (int32_t)i; ob[n] = (int32_t)(i + k);
+                    ++n; i -= 1;
+                } else if (c == 2) {
+                    ot[n] = 1; oa[n] = (int32_t)i; ob[n] = -1;
+                    ++n; i -= 1; k += 1;
+                } else {
+                    ot[n] = 2; oa[n] = (int32_t)(i + k); ob[n] = -1;
+                    ++n; k -= 1;
+                }
+            }
+            for (int64_t a = 0, z = n - 1; a < z; ++a, --z) {
+                int32_t t;
+                t = ot[a]; ot[a] = ot[z]; ot[z] = t;
+                t = oa[a]; oa[a] = oa[z]; oa[z] = t;
+                t = ob[a]; ob[a] = ob[z]; ob[z] = t;
+            }
+            out_n[b] = n;
+        }
+    };
+    if (nthreads == 1) {
+        run(0, bsz);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int64_t chunk = (bsz + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+        int64_t lo = t * chunk;
+        int64_t hi = lo + chunk < bsz ? lo + chunk : bsz;
+        if (lo >= hi) break;
+        pool.emplace_back(run, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+}
+
 // Whole-batch traceback: tb is [B, M, wbytes] row-major; when packed != 0,
 // wbytes = W/2 with two 4-bit cells per byte (low nibble = even k), else
 // wbytes = W.  Outputs are [B, cap] row-major; out_n[b] receives the op

@@ -154,6 +154,124 @@ def banded_sw_packed(read_codes, ref_window_codes, read_len, *,
     return pack_tb(tb), best, best_i, best_k
 
 
+@jax.jit
+def walk_device(tb, best_i, best_k):
+    """Walk every read's traceback ON DEVICE in lockstep (lax.scan over
+    steps, vectorized over the batch) so only the per-step op codes cross
+    the device→host link (~1 byte/step/read) instead of the whole [M, W]
+    traceback matrix — the D2H transfer is what dominates on tunneled
+    chips.
+
+    Returns codes [B, 2M+W] uint8 in walk (3'→5') order:
+    0 = stopped, 1 = M, 2 = I, 3 = D.  Decode with decode_walk_native
+    (native/traceback.cpp) or decode_walk.
+    """
+    bsz, m, w = tb.shape
+    tbf = tb.reshape(bsz, m * w)
+    steps = 2 * m + w
+
+    def step(carry, _):
+        i, k, st, done = carry
+        idx = jnp.clip(i, 0, m - 1) * w + jnp.clip(k, 0, w - 1)
+        bits = jnp.take_along_axis(tbf, idx[:, None], axis=1)[:, 0]
+        bits = bits.astype(jnp.int32)
+        src = bits & 3
+        e_ext = (bits & 4) != 0
+        f_ext = (bits & 8) != 0
+        is_h = st == 0
+        # fused automaton: entering E/F from H emits that op at the same
+        # cell in the same step (matches the Python walker, which re-reads
+        # the same cell after the state switch)
+        act_m = is_h & (src == H_DIAG)
+        act_d = (is_h & (src == H_E)) | (st == 1)
+        act_i = (is_h & (src == H_F)) | (st == 2)
+        stop = is_h & (src == H_ZERO)
+        code = jnp.where(
+            done | stop, 0,
+            jnp.where(act_m, 1, jnp.where(act_i, 2, 3))).astype(jnp.uint8)
+        ni = jnp.where(act_m | act_i, i - 1, i)
+        nk = jnp.where(act_d, k - 1, jnp.where(act_i, k + 1, k))
+        nst = jnp.where(act_m, 0,
+                        jnp.where(act_d, jnp.where(e_ext, 1, 0),
+                                  jnp.where(act_i, jnp.where(f_ext, 2, 0),
+                                            st)))
+        ndone = done | stop | (ni < 0) | (nk < 0) | (nk >= w)
+        ni = jnp.where(done, i, ni)
+        nk = jnp.where(done, k, nk)
+        nst = jnp.where(done, st, nst)
+        return (ni, nk, nst, ndone), code
+
+    init = (best_i.astype(jnp.int32), best_k.astype(jnp.int32),
+            jnp.zeros(bsz, jnp.int32), jnp.zeros(bsz, bool))
+    _, codes = jax.lax.scan(step, init, None, length=steps)
+    return jnp.transpose(codes)        # [B, steps]
+
+
+def decode_walk(codes_row: np.ndarray, best_i: int, best_k: int):
+    """Host decode of one read's device-walk codes into traceback-style
+    ops (5'→3'), the pure-Python reference for decode_walk_native."""
+    i, k = int(best_i), int(best_k)
+    ops = []
+    for c in codes_row:
+        if c == 0:
+            break
+        if c == 1:
+            ops.append(("M", i, i + k))
+            i -= 1
+        elif c == 2:
+            ops.append(("I", i))
+            i -= 1
+            k += 1
+        else:
+            ops.append(("D", i + k))
+            k -= 1
+    ops.reverse()
+    return ops
+
+
+def decode_walk_native(codes: np.ndarray, best_i: np.ndarray,
+                       best_k: np.ndarray, nthreads: int = 8):
+    """Whole-batch C++ decode of device-walk codes (traceback.cpp
+    decode_walk_batch); returns (ops_type, ops_a, ops_b) triples in 5'→3'
+    order per read, or None when the toolchain is unavailable."""
+    import ctypes
+
+    from nanomod_tpu.native.build import load_native
+
+    lib = load_native("traceback")
+    if lib is None:
+        return None
+    if not getattr(lib, "_decode_sig", False):
+        lib.decode_walk_batch.restype = None
+        lib.decode_walk_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
+        lib._decode_sig = True
+    bsz, s = codes.shape
+    cap = s
+    ot = np.empty((bsz, cap), np.int32)
+    oa = np.empty((bsz, cap), np.int32)
+    ob = np.empty((bsz, cap), np.int32)
+    out_n = np.zeros(bsz, np.int64)
+    codes_c = np.ascontiguousarray(codes, dtype=np.uint8)
+    bi = np.ascontiguousarray(best_i, dtype=np.int32)
+    bk = np.ascontiguousarray(best_k, dtype=np.int32)
+    lib.decode_walk_batch(
+        codes_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), bsz, s,
+        bi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        oa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ob.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nthreads)
+    return [(ot[b, : out_n[b]].copy(), oa[b, : out_n[b]].copy(),
+             ob[b, : out_n[b]].copy()) for b in range(bsz)]
+
+
 def unpack_tb(tb_packed: np.ndarray) -> np.ndarray:
     """Host-side inverse of the device nibble packing (testing helper)."""
     b, m, wp = tb_packed.shape

@@ -99,13 +99,15 @@ class DPBatch:
     """An in-flight banded-DP batch (device arrays not yet fetched)."""
 
     reads: List[PreparedRead]
-    tb: object                 # [B, M, W] or nibble-packed [B, M, W//2]
+    tb: object                 # mode 'plain': [B, M, W] traceback matrix;
+                               # 'packed': nibble-packed [B, M, W//2];
+                               # 'codes': device-walk op codes [B, 2M+W]
     best: object
     best_i: object
     best_k: object
     lens: np.ndarray
     win_starts: np.ndarray
-    packed: bool
+    mode: str
 
 
 def dispatch_dp(reads: List[PreparedRead], fasta: FastaIndex,
@@ -156,14 +158,19 @@ def dispatch_dp(reads: List[PreparedRead], fasta: FastaIndex,
             match=cfg.match_score, mismatch=cfg.mismatch_score,
             go=cfg.gap_open, ge=cfg.gap_extend,
         )
-    packed = False
-    if cfg.use_native and w % 2 == 0:
+    mode = "plain"
+    if cfg.use_device_walk:
+        # walk the traceback on device: only op codes cross the D2H link
+        from nanomod_tpu.resquiggle.banded import walk_device
+        tb = walk_device(tb, bi, bk)
+        mode = "codes"
+    elif cfg.use_native and w % 2 == 0:
         from nanomod_tpu.native.build import load_native
         if load_native("traceback") is not None:
             from nanomod_tpu.resquiggle.banded import pack_tb
             tb = pack_tb(tb)
-            packed = True
-    return DPBatch(reads, tb, best, bi, bk, lens, win_starts, packed)
+            mode = "packed"
+    return DPBatch(reads, tb, best, bi, bk, lens, win_starts, mode)
 
 
 def finish_alignment(batch: DPBatch, cfg: AnnotateConfig):
@@ -172,7 +179,9 @@ def finish_alignment(batch: DPBatch, cfg: AnnotateConfig):
     Returns [( (ops_type, ops_a, ops_b) int32 triple | None, win_start )]
     per read, 5'->3' op order.
     """
-    from nanomod_tpu.resquiggle.banded import (ops_to_arrays,
+    from nanomod_tpu.resquiggle.banded import (decode_walk,
+                                               decode_walk_native,
+                                               ops_to_arrays,
                                                traceback_batch_native)
     tb = np.asarray(batch.tb)
     best = np.asarray(batch.best)
@@ -182,10 +191,15 @@ def finish_alignment(batch: DPBatch, cfg: AnnotateConfig):
 
     n = len(reads)
     ops_all = None
-    if cfg.use_native:
+    nthreads = min(8, max(1, cfg.threads))
+    if batch.mode == "codes":
+        if cfg.use_native:
+            ops_all = decode_walk_native(tb[:n], bi[:n], bk[:n],
+                                         nthreads=nthreads)
+    elif cfg.use_native:
         ops_all = traceback_batch_native(
-            tb[:n], bi[:n], bk[:n], packed=batch.packed,
-            nthreads=min(8, max(1, cfg.threads)))
+            tb[:n], bi[:n], bk[:n], packed=batch.mode == "packed",
+            nthreads=nthreads)
     out = []
     for i, r in enumerate(reads):
         min_score = max(20, int(0.3 * cfg.match_score * lens[i]))
@@ -194,6 +208,8 @@ def finish_alignment(batch: DPBatch, cfg: AnnotateConfig):
             continue
         if ops_all is not None:
             ops = ops_all[i]
+        elif batch.mode == "codes":
+            ops = ops_to_arrays(decode_walk(tb[i], int(bi[i]), int(bk[i])))
         else:
             ops = ops_to_arrays(
                 traceback(tb[i], bi[i], bk[i], int(lens[i])))

@@ -252,3 +252,27 @@ def test_annotate_one_native_matches_python_path(tmp_path):
             else:
                 assert a == b, (key, a, b)
     assert n_checked >= 6
+
+
+def test_device_walk_matches_python_walker():
+    """walk_device (on-device lockstep traceback) + decode must reproduce
+    the Python matrix walker op-for-op, via both decoders."""
+    from nanomod_tpu.resquiggle.banded import (banded_sw, decode_walk,
+                                               decode_walk_native,
+                                               ops_to_arrays, traceback,
+                                               walk_device)
+
+    rng = np.random.default_rng(11)
+    read_codes, ref_codes, lens = _planted_batch(rng, 7)
+    tb, best, bi, bk = banded_sw(read_codes, ref_codes, lens)
+    codes = np.asarray(walk_device(tb, bi, bk))
+    tb = np.asarray(tb)
+    bi = np.asarray(bi)
+    bk = np.asarray(bk)
+    dec_native = decode_walk_native(codes, bi, bk, nthreads=2)
+    for i in range(len(lens)):
+        want = traceback(tb[i], int(bi[i]), int(bk[i]), int(lens[i]))
+        assert decode_walk(codes[i], int(bi[i]), int(bk[i])) == want
+        if dec_native is not None:
+            for a, b in zip(ops_to_arrays(want), dec_native[i]):
+                np.testing.assert_array_equal(a, b)
