@@ -106,7 +106,14 @@ class PoolBuilder:
         if len(pos):
             self._chunks[(chrom, strand)].append((pos, means, codes))
 
-    def finalize(self) -> Dict[Tuple[str, str], PositionPools]:
+    def finalize(self, max_capacity: int = 0
+                 ) -> Dict[Tuple[str, str], PositionPools]:
+        """max_capacity > 0 caps the per-position reservoir: positions
+        deeper than the cap keep a deterministic random subsample (seeded
+        per position), bounding the dense [P, C] pool at C = max_capacity
+        — one skewed ultra-deep position otherwise inflates every row.
+        0 = exact (all observations kept; the reference keeps full Python
+        lists, ref myDetect.py:122-124)."""
         out = {}
         for (chrom, strand), chunks in sorted(self._chunks.items()):
             pos = np.concatenate([c[0] for c in chunks])
@@ -124,6 +131,23 @@ class PoolBuilder:
             cap = int(counts.max())
             row = np.repeat(np.arange(p_total), counts)
             slot = np.arange(len(pos_s)) - np.repeat(first_idx, counts)
+
+            if max_capacity > 0 and cap > max_capacity:
+                # deterministic per-observation priority; keep the
+                # max_capacity smallest priorities per position
+                rng = np.random.default_rng(
+                    abs(hash((chrom, strand))) % (2**32))
+                prio = rng.random(len(pos_s))
+                # rank within each position group by priority
+                by_prio = np.lexsort((prio, row))
+                rank = np.empty(len(pos_s), np.int64)
+                rank[by_prio] = (np.arange(len(pos_s))
+                                 - np.repeat(first_idx, counts))
+                keep = rank < max_capacity
+                row, val_s, cod_s = row[keep], val_s[keep], cod_s[keep]
+                slot = rank[keep]
+                counts = np.minimum(counts, max_capacity)
+                cap = max_capacity
 
             values = np.zeros((p_total, cap), dtype=np.float32)
             values[row, slot] = val_s

@@ -102,6 +102,10 @@ class DetectConfig:
 
     # engine knobs (new — no reference counterpart)
     tile_positions: int = 512      # positions per stats tile
+    # cap on the per-position signal reservoir (0 = exact/unbounded, like
+    # the reference's Python lists); >0 keeps a deterministic random
+    # subsample per deeper position, bounding pool memory at [P, cap] (new)
+    pool_capacity: int = 0
     dtype: str = "float32"         # on-device compute dtype
     num_workers: int = 8           # host-side ingest threads
     native_ingest: bool = True     # C++ FAST5 parser (h5py fallback if absent)

@@ -94,7 +94,7 @@ def ingest_group(folder: str, cfg: DetectConfig) -> Dict[Tuple[str, str], Positi
             s.add(1)
     if cfg.out_level <= OUTPUT_INFO:
         print(f"Number of files in {folder} is {len(files)}")
-    return builder.finalize()
+    return builder.finalize(max_capacity=cfg.pool_capacity)
 
 
 def detect_from_pools(

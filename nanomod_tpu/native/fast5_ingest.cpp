@@ -979,11 +979,89 @@ struct RawPrepared {
 enum {
     E_OK = 0, E_OPEN = 1, E_CHANNEL = 2, E_RAWSIG = 3, E_FASTQ = 4,
     E_EVENTS = 5, E_TRIM_LEFT = 6, E_TRIM_RIGHT = 7, E_FIRST_INDEX = 8,
-    E_FALLBACK = 9,
+    E_FALLBACK = 9, E_NANOCORR = 10,
 };
 
 inline double round_dec(double x, double scale) {
     return std::nearbyint(x * scale) / scale;
+}
+
+// numpy pairwise summation (see annotate_core.cpp) — exact np.sum order
+template <typename F>
+double pw_sum(F f, int64_t off, int64_t n) {
+    if (n < 8) {
+        double res = 0.0;
+        for (int64_t i = 0; i < n; ++i) res += f(off + i);
+        return res;
+    } else if (n <= 128) {
+        double r[8];
+        for (int j = 0; j < 8; ++j) r[j] = f(off + j);
+        int64_t i;
+        for (i = 8; i < n - (n % 8); i += 8)
+            for (int j = 0; j < 8; ++j) r[j] += f(off + i + j);
+        double res = ((r[0] + r[1]) + (r[2] + r[3])) +
+                     ((r[4] + r[5]) + (r[6] + r[7]));
+        for (; i < n; ++i) res += f(off + i);
+        return res;
+    }
+    int64_t n2 = n / 2;
+    n2 -= n2 % 8;
+    return pw_sum(f, off, n2) + pw_sum(f, off + n2, n - n2);
+}
+
+// 5-mer code (A=0 C=1 G=2 T=3, first char most significant); -1 = non-ACGT
+inline int kmer5_code(const char* s) {
+    int code = 0;
+    for (int i = 0; i < 5; i++) {
+        char c = s[i];
+        int v;
+        if (c == 'A' || c == 'a') v = 0;
+        else if (c == 'C' || c == 'c') v = 1;
+        else if (c == 'G' || c == 'g') v = 2;
+        else if (c == 'T' || c == 't') v = 3;
+        else return -1;
+        code = code * 4 + v;
+    }
+    return code;
+}
+
+// weighted 2x2 least-squares shift/scale (ref get_cur_shift_scale :86-113;
+// Python spec signal/normalize.kmer_shift_scale).  Sums use numpy pairwise
+// order; the solve replicates LAPACK dgesv's partial-pivot LU on 2x2.
+// Returns false on singular (-> "Cannot nanopore correction").
+bool kmer_shift_scale_native(const std::vector<double>& means,
+                             const std::vector<double>& levels,
+                             const std::vector<double>& weights,
+                             double* shift, double* scale) {
+    int64_t n = (int64_t)means.size();
+    double sw = pw_sum([&](int64_t i) { return weights[i]; }, 0, n);
+    double swm = pw_sum([&](int64_t i) { return weights[i] * levels[i]; },
+                        0, n);
+    double swmm = pw_sum(
+        [&](int64_t i) { return (weights[i] * levels[i]) * levels[i]; },
+        0, n);
+    double swe = pw_sum([&](int64_t i) { return means[i] * weights[i]; },
+                        0, n);
+    double swem = pw_sum(
+        [&](int64_t i) { return (means[i] * weights[i]) * levels[i]; },
+        0, n);
+    // solve [[sw, swm], [swm, swmm]] x = [swe, swem]
+    double a11 = sw, a12 = swm, a21 = swm, a22 = swmm, b1 = swe, b2 = swem;
+    bool swap = std::fabs(a21) > std::fabs(a11);
+    if (swap) {
+        std::swap(a11, a21);
+        std::swap(a12, a22);
+        std::swap(b1, b2);
+    }
+    if (a11 == 0.0) return false;
+    double l = a21 / a11;
+    double u22 = a22 - l * a12;
+    if (u22 == 0.0) return false;
+    double x2 = (b2 - l * b1) / u22;
+    double x1 = (b1 - a12 * x2) / a11;
+    *shift = x1;
+    *scale = x2;
+    return true;
 }
 
 // np.median on a scratch copy (partial sort; even n averages two middles)
@@ -1022,17 +1100,19 @@ struct EventCols {
     std::vector<double> mean, stdv, start, length;
     std::vector<double> move;
     std::vector<char> center;      // model_state[2]
+    std::vector<int> kcode;        // 5-mer code of model_state (-1 non-ACGT)
     u64 n = 0;
 };
 
 bool load_event_table(const Buf& b, const Super& s, const Object& ev,
-                      EventCols& c) {
+                      EventCols& c, bool want_model) {
     if (ev.dtype.cls != 6 || !ev.has_dspace) return false;
     u64 n = ev.dspace.npoints();
     std::vector<u8> rows = read_dataset(b, s, ev);
     u32 stride = ev.dtype.size;
     c.n = n;
     bool has_move = false, has_start = false, has_len = false, has_state = false;
+    bool has_mean = false;
     for (auto& m : ev.dtype.members) {
         if (m.name == "move") {
             c.move.resize(n); extract_field(rows, n, stride, m, c.move.data());
@@ -1043,18 +1123,28 @@ bool load_event_table(const Buf& b, const Super& s, const Object& ev,
         } else if (m.name == "length") {
             c.length.resize(n); extract_field(rows, n, stride, m, c.length.data());
             has_len = true;
+        } else if (m.name == "mean" && want_model) {
+            c.mean.resize(n); extract_field(rows, n, stride, m, c.mean.data());
+            has_mean = true;
         } else if (m.name == "model_state") {
             c.center.resize(n);
-            for (u64 i = 0; i < n; i++)
-                c.center[i] = (char)rows[i * stride + m.offset + 2];
+            if (want_model) c.kcode.resize(n);
+            for (u64 i = 0; i < n; i++) {
+                const char* st = (const char*)rows.data() + i * stride + m.offset;
+                c.center[i] = st[2];
+                if (want_model)
+                    c.kcode[i] = m.size >= 5 ? kmer5_code(st) : -1;
+            }
             has_state = true;
         }
     }
+    if (want_model && !has_mean) return false;
     return has_move && has_start && has_len && has_state;
 }
 
 RawPrepared parse_raw(const u8* data, u64 size, const char* bc1d,
-                      const char* bc2s) {
+                      const char* bc2s, const double* model_levels,
+                      const double* model_invvars) {
     RawPrepared r;
     try {
         Buf b{data, size};
@@ -1162,9 +1252,32 @@ RawPrepared parse_raw(const u8* data, u64 size, const char* bc1d,
             u64 ev_addr = resolve_path(b, s, (base + "/Events").c_str());
             if (ev_addr == UNDEF) { r.err = E_EVENTS; return r; }
             EventCols c;
-            if (!load_event_table(b, s, read_object_header(b, s, ev_addr), c)
+            bool want_model = model_levels != nullptr;
+            if (!load_event_table(b, s, read_object_header(b, s, ev_addr), c,
+                                  want_model)
                     || c.n == 0) {
                 r.err = E_EVENTS; return r;
+            }
+            if (want_model) {
+                // nanopolish-style calibration over ALL event rows
+                // (ref get_cur_shift_scale :86-113, applied at :111)
+                std::vector<double> levels(c.n), weights(c.n);
+                for (u64 i = 0; i < c.n; i++) {
+                    int kc = c.kcode[i];
+                    if (kc < 0) { r.err = E_NANOCORR; return r; }
+                    levels[i] = model_levels[kc];
+                    weights[i] = model_invvars[kc];
+                }
+                double shift, scale;
+                if (!kmer_shift_scale_native(c.mean, levels, weights,
+                                             &shift, &scale)) {
+                    r.err = E_NANOCORR; return r;
+                }
+                // true division per element (np broadcasting semantics:
+                // raw/scale - shift/scale, ref normalize.py :68)
+                double off2 = shift / scale;
+                for (u64 i = 0; i < raw.size(); i++)
+                    raw[i] = round_dec(raw[i] / scale - off2, 1e6);
             }
             int major = 0;
             if (!version.empty()) major = atoi(version.c_str());
@@ -1227,7 +1340,8 @@ RawPrepared parse_raw(const u8* data, u64 size, const char* bc1d,
 }
 
 RawPrepared parse_raw_file(const char* path, const char* bc1d,
-                           const char* bc2s) {
+                           const char* bc2s, const double* model_levels,
+                           const double* model_invvars) {
     RawPrepared r;
     FILE* f = fopen(path, "rb");
     if (!f) { r.err = E_OPEN; return r; }
@@ -1241,7 +1355,8 @@ RawPrepared parse_raw_file(const char* path, const char* bc1d,
         return r;
     }
     fclose(f);
-    return parse_raw(buf.data(), buf.size(), bc1d, bc2s);
+    return parse_raw(buf.data(), buf.size(), bc1d, bc2s, model_levels,
+                     model_invvars);
 }
 
 // ---------------------------------------------------------------------------
@@ -1329,8 +1444,12 @@ struct RawBatch {
     std::vector<RawPrepared> reads;
 };
 
+// model_levels/model_invvars: 1024-entry 5-mer tables (A=0..T=3, first
+// char most significant) enabling nanopolish-style calibration; pass null
+// to skip.
 void* f5_prepare_batch(const char** paths, int64_t n, const char* bc1d,
-                       const char* bc2s, int nthreads) {
+                       const char* bc2s, const double* model_levels,
+                       const double* model_invvars, int nthreads) {
     RawBatch* batch = new RawBatch();
     batch->reads.resize(n);
     if (nthreads < 1) nthreads = 1;
@@ -1339,7 +1458,8 @@ void* f5_prepare_batch(const char** paths, int64_t n, const char* bc1d,
         for (;;) {
             int64_t i = next.fetch_add(1);
             if (i >= n) break;
-            batch->reads[i] = parse_raw_file(paths[i], bc1d, bc2s);
+            batch->reads[i] = parse_raw_file(paths[i], bc1d, bc2s,
+                                             model_levels, model_invvars);
         }
     };
     std::vector<std::thread> ts;

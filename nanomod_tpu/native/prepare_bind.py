@@ -28,6 +28,7 @@ PREP_ERRORS = {
     7: "Remove too many bases on right",
     8: "The index of the first base is less than -2",
     9: None,
+    10: "Cannot nanopore correction",
 }
 
 _sig_set = False
@@ -40,7 +41,8 @@ def _lib():
         c = ctypes
         lib.f5_prepare_batch.restype = c.c_void_p
         lib.f5_prepare_batch.argtypes = [
-            c.POINTER(c.c_char_p), c.c_int64, c.c_char_p, c.c_char_p, c.c_int]
+            c.POINTER(c.c_char_p), c.c_int64, c.c_char_p, c.c_char_p,
+            c.POINTER(c.c_double), c.POINTER(c.c_double), c.c_int]
         lib.f5_prepare_sizes.restype = c.c_int64
         lib.f5_prepare_sizes.argtypes = [
             c.c_void_p, c.POINTER(c.c_int32), c.POINTER(c.c_int64),
@@ -68,15 +70,36 @@ class PreparedRaw:
         self.norm_signal = norm_signal
 
 
+def model_tables(kmer_model) -> Optional[tuple]:
+    """Convert a load_kmer_model dict into the dense (levels, invvars)
+    1024-entry 5-mer tables of f5_prepare_batch; None if the model does
+    not cover all ACGT 5-mers (then the Python path must be used)."""
+    if kmer_model is None:
+        return None
+    levels = np.empty(1024, np.float64)
+    invvars = np.empty(1024, np.float64)
+    bases = "ACGT"
+    for code in range(1024):
+        k = "".join(bases[(code >> (2 * (4 - j))) & 3] for j in range(5))
+        ent = kmer_model.get(k)
+        if ent is None:
+            return None
+        levels[code], invvars[code] = ent
+    return levels, invvars
+
+
 def native_prepare_batch(paths: List[str], basecall_1d: str,
-                         basecall_2strand: str, nthreads: int = 4
+                         basecall_2strand: str, nthreads: int = 4,
+                         kmer_tables: Optional[tuple] = None
                          ) -> Optional[List]:
     """Parse + extract + normalize a batch of raw FAST5s natively.
 
-    Returns a list aligned with `paths`: PreparedRaw on success, an error
-    key string (reference taxonomy) on a classified failure, or None for
-    "retry via the Python path".  Returns None (whole call) when the
-    native library is unavailable.
+    kmer_tables (from model_tables) enables the nanopolish-style
+    shift/scale calibration before MAD normalization.  Returns a list
+    aligned with `paths`: PreparedRaw on success, an error key string
+    (reference taxonomy) on a classified failure, or None for "retry via
+    the Python path".  Returns None (whole call) when the native library
+    is unavailable.
     """
     lib = _lib()
     if lib is None:
@@ -85,8 +108,15 @@ def native_prepare_batch(paths: List[str], basecall_1d: str,
     if n == 0:
         return []
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if kmer_tables is not None:
+        lv, iv = kmer_tables
+        lv_p = lv.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        iv_p = iv.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    else:
+        lv_p = iv_p = None
     h = lib.f5_prepare_batch(arr, n, basecall_1d.encode(),
-                             basecall_2strand.encode(), max(1, nthreads))
+                             basecall_2strand.encode(), lv_p, iv_p,
+                             max(1, nthreads))
     try:
         err = np.zeros(n, np.int32)
         n_ev = np.zeros(n, np.int64)

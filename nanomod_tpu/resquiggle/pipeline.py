@@ -427,12 +427,14 @@ def prepare_batch(paths: List[str], cfg: AnnotateConfig,
     n_total = len(paths)
 
     native_res = None
-    if cfg.use_native and kmer_model is None:
-        # the k-mer-calibration variant needs the basecall event means,
-        # which the native fast path does not surface — use Python there
-        from nanomod_tpu.native.prepare_bind import native_prepare_batch
-        native_res = native_prepare_batch(
-            paths, cfg.basecall_1d, cfg.basecall_2strand, nthreads=workers)
+    if cfg.use_native:
+        from nanomod_tpu.native.prepare_bind import (model_tables,
+                                                     native_prepare_batch)
+        tables = model_tables(kmer_model)
+        if kmer_model is None or tables is not None:
+            native_res = native_prepare_batch(
+                paths, cfg.basecall_1d, cfg.basecall_2strand,
+                nthreads=workers, kmer_tables=tables)
 
     with stage("prepare", unit="reads") as s:
         if native_res is not None:

@@ -111,3 +111,38 @@ def test_mstd_output(dataset, tmp_path):
     assert len(line) == 8
     # mean/std columns are plausible normalized-signal values
     assert abs(float(line[4])) < 5
+
+
+def test_pool_capacity_cap():
+    """finalize(max_capacity=N) bounds the reservoir; shallow positions
+    keep everything and deep positions keep a deterministic subsample."""
+    import numpy as np
+
+    from nanomod_tpu.accum.pools import PoolBuilder
+
+    def build(cap):
+        b = PoolBuilder()
+        rng = np.random.default_rng(0)
+        # 50 reads covering pos 0..9; one ultra-deep position 5
+        for i in range(50):
+            b.add_read("c", "+", 0, rng.normal(size=10).astype(np.float32),
+                       np.array(list("ACGTACGTAC")))
+        for i in range(500):
+            b.add_read("c", "+", 5, np.array([1.0], np.float32),
+                       np.array(["A"]))
+        return b.finalize(max_capacity=cap)[("c", "+")]
+
+    exact = build(0)
+    assert exact.capacity == 550
+    capped = build(64)
+    assert capped.capacity == 64
+    np.testing.assert_array_equal(capped.counts,
+                                  np.minimum(exact.counts, 64))
+    # shallow positions keep the exact same observations (order-preserved
+    # sets); values for pos 0 must match
+    i0 = np.searchsorted(exact.positions, 0)
+    assert set(np.round(capped.values[i0, :capped.counts[i0]], 5)) == \
+        set(np.round(exact.values[i0, :exact.counts[i0]], 5))
+    # determinism
+    again = build(64)
+    np.testing.assert_array_equal(capped.values, again.values)
