@@ -318,10 +318,11 @@ def annotate_one(read: PreparedRead, ops, win_start: int, fasta: FastaIndex,
             read.norm_signal, cfg.min_num_signal,
             cfg.resegment_signal_wind, cfg.more_signal_perc)
     if res is not None:
-        out_mean, out_std, out_start, out_len, out_valid, _hist = res
+        out_mean, out_std, out_start, out_len, out_valid, hist = res
         valid = np.flatnonzero(out_valid)
         if valid.size == 0:
             return None, "Incorrect Alignment"
+        signalnum = {i: int(hist[i]) for i in np.flatnonzero(hist)}
         order = valid if read.strand == "+" else valid[::-1]
         ev_out = np.empty(order.size, CORRECTED_EVENTS_DTYPE)
         ev_out["norm_mean"] = out_mean[order]
@@ -340,8 +341,11 @@ def annotate_one(read: PreparedRead, ops, win_start: int, fasta: FastaIndex,
             read_al = COMP_LUT[readb[::-1]].view("S1")
             genome_al = COMP_LUT[refb[::-1]].view("S1")
             clip_s, clip_e = rightclip, leftclip
-        return _payload(read, first_match_pos, ev_out, read_al, genome_al,
-                        clip_s, clip_e, numins, numdel, nmatch, nummismatch)
+        pay, err = _payload(read, first_match_pos, ev_out, read_al,
+                            genome_al, clip_s, clip_e, numins, numdel,
+                            nmatch, nummismatch)
+        pay["signal_hist"] = signalnum
+        return pay, err
 
     # pure-Python specification path (ref annotate1 semantics)
     cols = Columns(refb.view("S1").astype("<U1"), readb.view("S1").astype("<U1"))
@@ -386,8 +390,10 @@ def annotate_one(read: PreparedRead, ops, win_start: int, fasta: FastaIndex,
         genome_al = np.array([complement(str(b)) for b in cols.refbase[::-1]],
                              dtype="S1")
         clip_s, clip_e = rightclip, leftclip
-    return _payload(read, first_match_pos, ev_out, read_al, genome_al,
-                    clip_s, clip_e, numins, numdel, nmatch, nummismatch)
+    pay, err = _payload(read, first_match_pos, ev_out, read_al, genome_al,
+                        clip_s, clip_e, numins, numdel, nmatch, nummismatch)
+    pay["signal_hist"] = signalnum
+    return pay, err
 
 
 def _seed_and_wrap(path: str, read_id: str, seq: str, ev_start, ev_length,
@@ -498,6 +504,7 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
 
     n_ok = 0
     write_errors: List[str] = []
+    signal_hist: Dict[int, int] = defaultdict(int)
     workers = max(1, min(cfg.threads, 16))
 
     def write_many(annotated):
@@ -506,6 +513,8 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
             if payload is None:
                 errors[err].append(r.path)
                 continue
+            for wnd, cnt in payload.pop("signal_hist", {}).items():
+                signal_hist[wnd] += cnt
             try:
                 write_corrected_events(r.path, **payload,
                                        basecall_group=cfg.basecall_1d)
@@ -542,7 +551,7 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
             s.add(len(prepared))
     for p in write_errors:
         errors["Cannot save data"].append(p)
-    return n_ok, dict(errors)
+    return n_ok, dict(errors), dict(signal_hist)
 
 
 def annotate_files(paths: List[str], cfg: AnnotateConfig,
@@ -560,10 +569,10 @@ def annotate_files(paths: List[str], cfg: AnnotateConfig,
                   if cfg.kmer_model_file and os.path.isfile(cfg.kmer_model_file)
                   else None)
     prepared, errors = prepare_batch(paths, cfg, seed_index, kmer_model)
-    n_ok, perrors = process_prepared(prepared, cfg, fasta)
+    n_ok, perrors, signal_hist = process_prepared(prepared, cfg, fasta)
     for k, v in perrors.items():
         errors[k].extend(v)
-    return n_ok, dict(errors), {}
+    return n_ok, dict(errors), signal_hist
 
 
 def annotate_folder(cfg: AnnotateConfig):
@@ -591,6 +600,7 @@ def annotate_folder(cfg: AnnotateConfig):
                   else None)
     total_ok = 0
     all_errors = defaultdict(list)
+    all_hist: Dict[int, int] = defaultdict(int)
     chunks = [paths[lo: lo + cfg.files_per_thread]
               for lo in range(0, len(paths), cfg.files_per_thread)]
     # prefetch: prepare chunk k+1 (HDF5-bound) on a background thread while
@@ -604,9 +614,11 @@ def annotate_folder(cfg: AnnotateConfig):
             fut = (prefetcher.submit(prepare_batch, chunks[ci + 1], cfg,
                                      seed_index, kmer_model)
                    if ci + 1 < len(chunks) else None)
-            n_ok, perrors = process_prepared(prepared, cfg, fasta)
+            n_ok, perrors, chist = process_prepared(prepared, cfg, fasta)
             for k, v in perrors.items():
                 errors[k].extend(v)
+            for wnd, cnt in chist.items():
+                all_hist[wnd] += cnt
             total_ok += n_ok
             for k, v in errors.items():
                 all_errors[k].extend(v)
@@ -616,6 +628,12 @@ def annotate_folder(cfg: AnnotateConfig):
                 print(f"{done}/{len(paths)} reads, "
                       f"{done / max(dt, 1e-9):.1f} reads/s")
     dt = time.time() - start
+    if all_hist:
+        # resegment-window success histogram (ref :1491-1494,
+        # 'signalneighbor'; window 1 = whole-group mean/std fallback)
+        print("Resegmentation information:")
+        for wnd in sorted(all_hist):
+            print(f"\t{wnd} {all_hist[wnd]}")
     print("Error information for different fast5 files:")
     for k, v in all_errors.items():
         print(f"\t{k} {len(v)}")
