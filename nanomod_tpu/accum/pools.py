@@ -24,6 +24,7 @@ kind of warning the reference prints (myDetect.py:432-434).
 
 from __future__ import annotations
 
+import zlib
 from collections import defaultdict
 from dataclasses import dataclass
 from typing import Dict, List, Tuple
@@ -109,8 +110,10 @@ class PoolBuilder:
     def finalize(self, max_capacity: int = 0
                  ) -> Dict[Tuple[str, str], PositionPools]:
         """max_capacity > 0 caps the per-position reservoir: positions
-        deeper than the cap keep a deterministic random subsample (seeded
-        per position), bounding the dense [P, C] pool at C = max_capacity
+        deeper than the cap keep a deterministic random subsample (the RNG
+        is seeded per (chrom, strand) group from a stable CRC32 digest, so
+        results are reproducible across processes and PYTHONHASHSEED
+        values), bounding the dense [P, C] pool at C = max_capacity
         — one skewed ultra-deep position otherwise inflates every row.
         0 = exact (all observations kept; the reference keeps full Python
         lists, ref myDetect.py:122-124)."""
@@ -136,7 +139,7 @@ class PoolBuilder:
                 # deterministic per-observation priority; keep the
                 # max_capacity smallest priorities per position
                 rng = np.random.default_rng(
-                    abs(hash((chrom, strand))) % (2**32))
+                    zlib.crc32(f"{chrom}:{strand}".encode()))
                 prio = rng.random(len(pos_s))
                 # rank within each position group by priority
                 by_prio = np.lexsort((prio, row))

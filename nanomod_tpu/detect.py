@@ -81,7 +81,9 @@ def ingest_group(folder: str, cfg: DetectConfig) -> Dict[Tuple[str, str], Positi
         if reads is None:                          # h5py fallback
             with ThreadPoolExecutor(max_workers=cfg.num_workers) as ex:
                 reads = list(ex.map(read_corrected_events, files))
-        s.add(len(files))
+        # count successfully parsed reads, not files — unparseable FAST5s
+        # must not inflate the reported reads/s
+        s.add(sum(1 for r in reads if r is not None))
 
     with stage("accumulate", unit="reads") as s:
         for rd in reads:
@@ -212,9 +214,12 @@ def save_sign_test(table: SignTable, cfg: DetectConfig) -> str:
 def run_detect(cfg: DetectConfig):
     """Full detect pipeline (ref myDetect.py:635-643).
 
-    Per-stage wall/throughput counters are recorded in the global Observer;
+    Per-stage wall/throughput counters are recorded in the global Observer
+    (reset at the start of each run so repeated library/harness calls in
+    one process report per-run numbers, not cumulative ones);
     cfg.metrics_file dumps them as JSON and cfg.profile_dir (or
     NANOMOD_PROFILE_DIR) wraps the run in a jax.profiler device trace."""
+    observer().reset()
     with device_trace(cfg.profile_dir):
         pools1 = ingest_group(cfg.wrk_base1, cfg)
         pools2 = ingest_group(cfg.wrk_base2, cfg)

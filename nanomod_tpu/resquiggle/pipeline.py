@@ -443,6 +443,7 @@ def prepare_batch(paths: List[str], cfg: AnnotateConfig,
                 nthreads=workers, kmer_tables=tables)
 
     with stage("prepare", unit="reads") as s:
+        del n_total  # stage counts successfully prepared reads, not files
         if native_res is not None:
             fallback = []
             for p, r in zip(paths, native_res):
@@ -468,7 +469,7 @@ def prepare_batch(paths: List[str], cfg: AnnotateConfig,
                         errors[err].append(p)
                     else:
                         prepared.append(rd)
-        s.add(n_total)
+        s.add(len(prepared))
     return prepared, errors
 
 
@@ -477,10 +478,11 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
     """Align + correct + write-back a list of prepared reads.
 
     Pipelined: buckets are split into sub-batches of cfg.dp_batch_size and
-    every sub-batch's DP is dispatched up front (JAX dispatch is async), so
-    the device computes sub-batch k+1 while the host fetches/tracebacks/
-    annotates k; FAST5 write-back runs on a background thread and overlaps
-    the next fetch.
+    a BOUNDED window of sub-batch DPs is kept in flight (JAX dispatch is
+    async), so the device computes sub-batch k+1 while the host fetches/
+    tracebacks/annotates k — without parking every sub-batch's [B, M, W]
+    traceback matrices in HBM at once; FAST5 write-back runs on a
+    background thread and overlaps the next fetch.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -492,15 +494,20 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
         buckets[_length_bucket(len(r.fwd_seq))].append(r)
 
     sub = max(8, cfg.dp_batch_size)
-    dp_batches = []
-    with stage("align_dp", unit="reads") as s:
-        for bucket_reads in buckets.values():
-            for lo in range(0, len(bucket_reads), sub):
-                part = bucket_reads[lo: lo + sub]
-                dp_batches.append(dispatch_dp(
-                    part, fasta, cfg,
-                    pad_bsz=sub if len(bucket_reads) > sub else 0))
-            s.add(len(bucket_reads))
+    dp_parts = []          # (reads, pad_bsz) specs, dispatched lazily below
+    for bucket_reads in buckets.values():
+        for lo in range(0, len(bucket_reads), sub):
+            dp_parts.append((bucket_reads[lo: lo + sub],
+                             sub if len(bucket_reads) > sub else 0))
+
+    def dispatch_next(i):
+        if i >= len(dp_parts):
+            return None
+        part, pad = dp_parts[i]
+        with stage("align_dp", unit="reads") as s:
+            dpb = dispatch_dp(part, fasta, cfg, pad_bsz=pad)
+            s.add(len(part))
+        return dpb
 
     n_ok = 0
     write_errors: List[str] = []
@@ -523,10 +530,24 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
                 write_errors.append(r.path)
         return ok
 
+    # dp_inflight = in-flight DP sub-batches: dispatch k+1/k+2 while
+    # finishing k (the window bounds device memory; 2 is enough to hide the
+    # fetch latency behind the next DP)
+    dp_inflight = 2
     with ThreadPoolExecutor(max_workers=workers) as ex, \
             ThreadPoolExecutor(max_workers=1) as writer:
         pending = []
-        for dpb in dp_batches:
+        from collections import deque
+        window = deque()
+        next_i = 0
+        while next_i < min(dp_inflight, len(dp_parts)):
+            window.append(dispatch_next(next_i))
+            next_i += 1
+        while window:
+            dpb = window.popleft()
+            if next_i < len(dp_parts):
+                window.append(dispatch_next(next_i))
+                next_i += 1
             if dpb is None:
                 continue
             with stage("traceback", unit="reads") as s:
@@ -581,6 +602,8 @@ def annotate_folder(cfg: AnnotateConfig):
     error-type histogram."""
     import time
 
+    from nanomod_tpu.utils.observe import observer
+    observer().reset()     # per-run metrics, not cumulative across runs
     start = time.time()
     paths = list(iter_fast5_files(cfg.wrk_base1, recursive=cfg.recursive))
     print(f"Total f5={len(paths)}")

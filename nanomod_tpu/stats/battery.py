@@ -113,11 +113,14 @@ def run_battery(
     mstd = np.empty((p_total, 4), dtype=np.float64) if want_mstd else None
     cov = int(cfg.coverages[0 if strand == "+" else 1])
 
-    # phase A: transfer + launch every tile asynchronously (device dispatch
-    # is async; fetching later pipelines H2D, compute and D2H and amortizes
-    # per-call link latency on tunneled chips).  Tile encode (milli-int16
-    # rounding + pad copy) runs in a small thread pool — numpy ufuncs
-    # release the GIL, so encoding tile i+1 overlaps the H2D of tile i.
+    # Pipelined tiles: encode (milli-int16 rounding + pad copy) on a small
+    # thread pool — numpy ufuncs release the GIL so encoding tile i+1
+    # overlaps the H2D of tile i — dispatch asynchronously (JAX dispatch is
+    # async; fetching later pipelines H2D, compute and D2H and amortizes
+    # per-call link latency on tunneled chips), and finalize in a BOUNDED
+    # sliding window so at most `max_inflight` tiles of inputs+outputs are
+    # resident on device at once (9.2M-position runs would otherwise park
+    # every tile in HBM before the first fetch).
     ranges = [(lo, min(lo + tile_positions, p_total))
               for lo in range(0, p_total, tile_positions)]
 
@@ -137,66 +140,68 @@ def run_battery(
                 jnp.asarray(v1), jnp.asarray(np.maximum(cn1, 1)),
                 jnp.asarray(v2), jnp.asarray(np.maximum(cn2, 1)))
 
-    if len(ranges) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        pool = ThreadPoolExecutor(min(4, len(ranges)))
-        encoded = pool.map(encode, ranges)
-    else:
-        pool = None
-        encoded = map(encode, ranges)
-
-    pending = []
-    for lo, hi, n1, n2, v1d, cn1d, v2d, cn2d in encoded:
-        comp_dev = kernels.battery_components_packed(v1d, cn1d, v2d, cn2d)
-
+    def dispatch(enc):
+        """Launch the packed kernel (+ optional capped-KS) for one encoded
+        tile; returns the pending record for later finalization."""
+        lo, hi, n1, n2, v1d, cn1d, v2d, cn2d = enc
+        is_milli = v1d.dtype == jnp.int16 and v2d.dtype == jnp.int16
+        if is_milli:
+            comp_dev = kernels.battery_components_packed_milli(
+                v1d, cn1d, v2d, cn2d)
+        else:
+            comp_dev = kernels.battery_components_packed(v1d, cn1d, v2d, cn2d)
         cap_dev = None
         if cov > 0 and bool(((n1 > cov) | (n2 > cov)).any()):
             q_idx = int(cfg.downsampling * cfg.downsampling_quantile)
+            # row_index keys the subsample RNG per ABSOLUTE row so results
+            # do not depend on tile_positions (or on position sharding)
+            row_index = jnp.asarray(
+                np.arange(lo, lo + len(cn1d), dtype=np.int32))
             cap_dev = kernels.capped_ks_d(
-                v1d, cn1d, v2d, cn2d,
+                v1d, cn1d, v2d, cn2d, row_index,
                 cov=cov, repeats=cfg.downsampling, quantile_idx=q_idx,
-                seed=cfg.downsampling_seed + lo)
-        pending.append((lo, hi, n1, n2, comp_dev, cap_dev))
-    if pool is not None:
-        pool.shutdown(wait=False)
+                seed=cfg.downsampling_seed)
+        return (lo, hi, n1, n2, comp_dev, cap_dev, is_milli)
 
-    # phase B: fetch + host float64 finalization
-    for lo, hi, n1, n2, comp_dev, cap_dev in pending:
+    def finalize(rec):
+        """Fetch one tile (single packed D2H) + host float64 finalization."""
+        lo, hi, n1, n2, comp_dev, cap_dev, is_milli = rec
         sl = slice(0, hi - lo)
         packed = np.asarray(comp_dev)   # ONE D2H fetch per tile
-        comp = {
-            "ks_d": packed[0][sl],
-            "two_rank_sum": packed[1].view(np.int32)[sl],
-            "tie_sum": packed[2][sl],
-            "mean1": packed[3][sl],
-            "ss1": packed[4][sl],
-            "mean2": packed[5][sl],
-            "ss2": packed[6][sl],
-        }
+        two_rank_sum = packed[1].view(np.int32)[sl]
+        tie_sum = packed[2][sl]
 
         n1f = n1.astype(np.float64)
         n2f = n2.astype(np.float64)
 
         # Mann-Whitney U (ref myDetect.py:331-333)
         u_min, zstat = kernels.mwu_from_components(
-            comp["two_rank_sum"], comp["tie_sum"], n1, n2)
+            two_rank_sum, tie_sum, n1, n2)
         out["stu"][lo:hi] = special.clamp_stat(u_min)
         out["pu"][lo:hi] = special.clamp_p(special.mwu_pvalue(zstat))
 
-        # Welch t (ref myDetect.py:335-337) — f32 device moments, f64 finalize
-        t, df, (va1, va2) = kernels.welch_finalize(
-            comp["mean1"], comp["ss1"], n1, comp["mean2"], comp["ss2"], n2)
+        # Welch t (ref myDetect.py:335-337).  Milli tiles carry exact
+        # integer Σ/Σx² -> f64-exact moments; f32 tiles use the two-pass f32
+        # device moments with documented ~1e-6 relative tolerance.
+        if is_milli:
+            i32 = lambda row: packed[row].view(np.int32)[sl]
+            t, df, (va1, va2), (m1, m2) = kernels.welch_finalize_exact(
+                i32(3), i32(4), i32(5), n1, i32(6), i32(7), i32(8), n2)
+        else:
+            m1, m2 = packed[3][sl], packed[5][sl]
+            t, df, (va1, va2) = kernels.welch_finalize(
+                m1, packed[4][sl], n1, m2, packed[6][sl], n2)
         out["stt"][lo:hi] = special.clamp_stat(t)
         out["pt"][lo:hi] = special.clamp_p(special.welch_pvalue(t, df))
         if want_mstd:
-            mstd[lo:hi, 0] = comp["mean1"]
+            mstd[lo:hi, 0] = m1
             mstd[lo:hi, 1] = np.sqrt(va1 * np.maximum(n1f - 1, 1) / np.maximum(n1f, 1))
-            mstd[lo:hi, 2] = comp["mean2"]
+            mstd[lo:hi, 2] = m2
             mstd[lo:hi, 3] = np.sqrt(va2 * np.maximum(n2f - 1, 1) / np.maximum(n2f, 1))
 
         # KS, with optional capped repeated-subsample variant
         # (ref myDetect.py:339-361)
-        d_plain = comp["ks_d"].astype(np.float64)
+        d_plain = packed[0][sl].astype(np.float64)
         if cov > 0:
             need_cap = (n1 > cov) | (n2 > cov)
         else:
@@ -216,5 +221,34 @@ def run_battery(
             p_ks = special.ks_pvalue(d_plain, n1f, n2f)
         out["stks"][lo:hi] = special.clamp_stat(d_sel)
         out["pks"][lo:hi] = special.clamp_p(p_ks)
+
+    max_inflight = 8
+    if len(ranges) > 1:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(min(4, len(ranges)))
+        try:
+            enc_futs = deque()
+            pending = deque()
+            it = iter(ranges)
+            submitted = 0
+            while True:
+                # keep a bounded window of encodes in flight
+                while (len(enc_futs) + len(pending) < max_inflight
+                       and submitted < len(ranges)):
+                    enc_futs.append(pool.submit(encode, next(it)))
+                    submitted += 1
+                if enc_futs:
+                    pending.append(dispatch(enc_futs.popleft().result()))
+                if (len(pending) >= max_inflight
+                        or (not enc_futs and pending)):
+                    finalize(pending.popleft())
+                if not enc_futs and not pending and submitted == len(ranges):
+                    break
+        finally:
+            pool.shutdown(wait=True, cancel_futures=True)
+    else:
+        for rg in ranges:
+            finalize(dispatch(encode(rg)))
 
     return TestResult(**out, mstd=mstd)

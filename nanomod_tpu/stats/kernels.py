@@ -132,6 +132,97 @@ def battery_components_packed(values1, counts1, values2, counts2):
                       c["mean1"], c["ss1"], c["mean2"], c["ss2"]])
 
 
+def _milli_exact_sums(values_i16, mask):
+    """Exact Σx and Σx² over the int16 milli domain with native-i32 math.
+
+    x² ≤ 32767² < 2^30 overflows an i32 accumulator at depth ~2, so each
+    square is split into (hi = x² >> 15, lo = x² & 0x7fff); Σhi and Σlo stay
+    exact in i32 up to C = 2^16 observations and the host reassembles
+    Σx² = (Σhi << 15) + Σlo in int64.  TPUs have no native i64/f64 — this
+    split keeps the whole reduction in MXU/VPU-native i32.
+    """
+    v = jnp.where(mask, values_i16.astype(jnp.int32), 0)
+    s1 = jnp.sum(v, axis=1)
+    sq = v * v
+    hi = jnp.sum(sq >> 15, axis=1)
+    lo = jnp.sum(sq & 0x7FFF, axis=1)
+    return s1, hi, lo
+
+
+@jax.jit
+def battery_components_packed_milli(values1, counts1, values2, counts2):
+    """Packed battery components for int16 "milli" tiles with EXACT Welch
+    sums (f64-exact t statistics; VERDICT round-1 weak #6).
+
+    values* [P, C*] int16 (value*1000 — exact for the system-wide 3-decimal
+    rounding invariant, ref myRefBaseSignalAnnotation.py:259).  Returns
+    [9, P] f32 with integer rows bitcast:
+      0 ks_d (f32), 1 two_rank_sum (i32), 2 tie_sum (f32),
+      3 sum1 (i32), 4 sumsq1_hi (i32), 5 sumsq1_lo (i32),
+      6 sum2 (i32), 7 sumsq2_hi (i32), 8 sumsq2_lo (i32)
+    The host finalizes mean/variance in float64 from the exact integer sums
+    (kernels.welch_finalize_exact).
+    """
+    p_dim, c1 = values1.shape
+    _, c2 = values2.shape
+    mask1 = jnp.arange(c1)[None, :] < counts1[:, None]
+    mask2 = jnp.arange(c2)[None, :] < counts2[:, None]
+    n1f = counts1.astype(jnp.float32)
+    n2f = counts2.astype(jnp.float32)
+
+    v1f = values1.astype(jnp.float32) * jnp.float32(1e-3)
+    v2f = values2.astype(jnp.float32) * jnp.float32(1e-3)
+    a = jnp.where(mask1, v1f, _INF)
+    b = jnp.where(mask2, v2f, _INF)
+    z = jnp.concatenate([a, b], axis=1)
+    lab = jnp.concatenate(
+        [mask1.astype(jnp.float32), jnp.zeros((p_dim, c2), jnp.float32)],
+        axis=1)
+    zs, labs = jax.lax.sort((z, lab), dimension=1, num_keys=1)
+    d, trs, ties = _scan_components(zs, labs, n1f, n2f)
+
+    s1a, hia, loa = _milli_exact_sums(values1, mask1)
+    s1b, hib, lob = _milli_exact_sums(values2, mask2)
+
+    def bc(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    return jnp.stack([d, bc(trs), ties,
+                      bc(s1a), bc(hia), bc(loa),
+                      bc(s1b), bc(hib), bc(lob)])
+
+
+def welch_finalize_exact(sum1, sumsq1_hi, sumsq1_lo, n1,
+                         sum2, sumsq2_hi, sumsq2_lo, n2):
+    """Host float64 Welch t + df + means from exact milli-domain sums.
+
+    Reassembles Σx² = (hi << 15) + lo in int64, converts to the value domain
+    (÷1e3 / ÷1e6) in float64 and applies the same Welch-Satterthwaite
+    formulas as welch_finalize.  All integer sums are exact, so t/df carry
+    only final-f64-operation rounding (vs the f32 accumulation of the plain
+    path).  Returns (t, df, (v1, v2), (mean1, mean2))."""
+    n1 = n1.astype(np.float64)
+    n2 = n2.astype(np.float64)
+    s1 = sum1.astype(np.float64)
+    s2 = sum2.astype(np.float64)
+    sq1 = ((sumsq1_hi.astype(np.int64) << 15) + sumsq1_lo).astype(np.float64)
+    sq2 = ((sumsq2_hi.astype(np.int64) << 15) + sumsq2_lo).astype(np.float64)
+    mean1 = s1 / (1e3 * n1)
+    mean2 = s2 / (1e3 * n2)
+    # Σ(x-x̄)² = Σx² - (Σx)²/n, exact integer sums -> f64 ops only
+    ss1 = (sq1 - s1 * s1 / n1) / 1e6
+    ss2 = (sq2 - s2 * s2 / n2) / 1e6
+    v1 = np.maximum(ss1, 0.0) / np.maximum(n1 - 1.0, 1.0)
+    v2 = np.maximum(ss2, 0.0) / np.maximum(n2 - 1.0, 1.0)
+    vn1 = v1 / n1
+    vn2 = v2 / n2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        df = (vn1 + vn2) ** 2 / (vn1 ** 2 / (n1 - 1.0) + vn2 ** 2 / (n2 - 1.0))
+        t = (mean1 - mean2) / np.sqrt(vn1 + vn2)
+    df = np.where(np.isnan(df), 1.0, df)
+    return t, df, (v1, v2), (mean1, mean2)
+
+
 @jax.jit
 def pooled_rank_components(z, lab, n1, n2):
     """Rank/KS components from a pre-pooled, pre-sorted-padding layout:
@@ -154,14 +245,22 @@ def pooled_rank_components(z, lab, n1, n2):
 
 
 @partial(jax.jit, static_argnames=("cov", "repeats", "quantile_idx"))
-def capped_ks_d(values1, counts1, values2, counts2, *, cov, repeats,
-                quantile_idx, seed):
+def capped_ks_d(values1, counts1, values2, counts2, row_index=None, *, cov,
+                repeats, quantile_idx, seed):
     """Quantile-selected KS D over `repeats` subsamples, per position.
 
     values* [P, C*] f32 raw pools (padding ignored).  Returns d_sel [P]:
     the quantile_idx-th largest D (== quantile_idx-th smallest p).
     Effective sizes are min(count, cov); the caller computes p on host with
     those sizes.
+
+    row_index [P] i32 gives each row's ABSOLUTE index within its
+    (chrom, strand) join: the subsample RNG is keyed per position as
+    fold_in(PRNGKey(seed), row_index), so results are invariant to how the
+    caller tiles or shards the position axis (single-device tiling and the
+    multi-chip position-sharded path draw identical subsamples).  The
+    reference used the global numpy RNG (myDetect.py:351-354), which was
+    not reproducible at all.
     """
     if values1.dtype == jnp.int16:
         values1 = values1.astype(jnp.float32) * jnp.float32(1e-3)
@@ -169,6 +268,8 @@ def capped_ks_d(values1, counts1, values2, counts2, *, cov, repeats,
         values2 = values2.astype(jnp.float32) * jnp.float32(1e-3)
     p_dim, c1 = values1.shape
     _, c2 = values2.shape
+    if row_index is None:
+        row_index = jnp.arange(p_dim, dtype=jnp.int32)
     v1 = jnp.where(jnp.arange(c1)[None, :] < counts1[:, None], values1, _INF)
     v2 = jnp.where(jnp.arange(c2)[None, :] < counts2[:, None], values2, _INF)
     if c1 < cov:
@@ -176,12 +277,15 @@ def capped_ks_d(values1, counts1, values2, counts2, *, cov, repeats,
     if c2 < cov:
         v2 = jnp.pad(v2, ((0, 0), (0, cov - c2)), constant_values=jnp.inf)
 
-    key = jax.random.PRNGKey(seed)
-    k1, k2 = jax.random.split(key)
-    idx1 = jax.random.randint(k1, (p_dim, repeats, cov), 0,
-                              jnp.maximum(counts1, 1)[:, None, None])
-    idx2 = jax.random.randint(k2, (p_dim, repeats, cov), 0,
-                              jnp.maximum(counts2, 1)[:, None, None])
+    base = jax.random.PRNGKey(seed)
+
+    def row_draws(idx, cnt1, cnt2):
+        k1, k2 = jax.random.split(jax.random.fold_in(base, idx))
+        i1 = jax.random.randint(k1, (repeats, cov), 0, jnp.maximum(cnt1, 1))
+        i2 = jax.random.randint(k2, (repeats, cov), 0, jnp.maximum(cnt2, 1))
+        return i1, i2
+
+    idx1, idx2 = jax.vmap(row_draws)(row_index, counts1, counts2)
 
     ne1 = jnp.minimum(counts1, cov).astype(jnp.float32)
     ne2 = jnp.minimum(counts2, cov).astype(jnp.float32)
@@ -225,6 +329,11 @@ def mwu_from_components(two_rank_sum, tie_sum, n1, n2):
     bigu = np.maximum(u1, u2)
     with np.errstate(divide="ignore", invalid="ignore"):
         z = (bigu - meanrank) / sd
+    # Degenerate pools (every pooled value identical => sd == 0): scipy
+    # 1.2.1 raised ValueError here, i.e. the reference CRASHED
+    # (myDetect.py:331 has no guard).  Defined divergence (DIVERGENCES.md):
+    # z = NaN, which special.mwu_pvalue maps to p = 1.0 (no evidence).
+    z = np.where(sd == 0, np.nan, z)
     return np.minimum(u1, u2), z
 
 

@@ -51,8 +51,16 @@ def ks_pvalue(d, n1, n2):
 
 
 def mwu_pvalue(z):
-    """scipy 1.2.1 mannwhitneyu(alternative=None): p = norm.sf(|z|)."""
-    return _dist.norm.sf(np.abs(np.asarray(z, dtype=np.float64)))
+    """scipy 1.2.1 mannwhitneyu(alternative=None): p = norm.sf(|z|).
+
+    NaN z marks a degenerate pool (all 2N pooled values identical; sd = 0)
+    where scipy 1.2.1 raised ValueError and the reference crashed
+    (myDetect.py:331): map it to p = 1.0 — identical samples carry no
+    evidence of modification (documented in DIVERGENCES.md)."""
+    z = np.asarray(z, dtype=np.float64)
+    with np.errstate(invalid="ignore"):
+        p = _dist.norm.sf(np.abs(z))
+    return np.where(np.isnan(z), 1.0, p)
 
 
 def welch_pvalue(t, df):

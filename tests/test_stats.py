@@ -125,6 +125,71 @@ def test_capped_ks_respects_strand_cap():
     assert not np.array_equal(r_minus.pks, r_plain.pks)
 
 
+def test_welch_exact_from_milli_sums():
+    # 3-decimal pools take the int16 milli wire format, whose Welch moments
+    # are EXACT integer sums -> t/df match scipy's f64 computation to ~1e-12
+    # (the f32-moment path only promises ~1e-4)
+    p = 48
+    v1, c1, v2, c2 = _make_pools(p, 60, 45, shift=0.2)
+    v1 = np.round(v1, 3).astype(np.float32)
+    v2 = np.round(v2, 3).astype(np.float32)
+    res = run_battery(v1, c1, v2, c2, tile_positions=16, want_mstd=True)
+    # the oracle sees the DECIMAL-exact doubles (the reference stores f8
+    # round(x,3) values, myRefBaseSignalAnnotation.py:702; the milli wire
+    # format reconstructs exactly those, not the f32-rounded doubles)
+    for i, (a, b) in enumerate(_rows(v1, c1, v2, c2)):
+        a = np.rint(a * 1000.0) / 1000.0
+        b = np.rint(b * 1000.0) / 1000.0
+        t = ss.ttest_ind(a, b, equal_var=False)
+        assert res.stt[i] == pytest.approx(t.statistic, rel=1e-12), f"row {i}"
+        assert res.pt[i] == pytest.approx(t.pvalue, rel=1e-10, abs=1e-300)
+        # mstd columns (population std, ref myDetect.py:437-438)
+        assert res.mstd[i, 0] == pytest.approx(a.mean(), rel=1e-12)
+        assert res.mstd[i, 1] == pytest.approx(a.std(), rel=1e-9, abs=1e-12)
+        assert res.mstd[i, 2] == pytest.approx(b.mean(), rel=1e-12)
+        assert res.mstd[i, 3] == pytest.approx(b.std(), rel=1e-9, abs=1e-12)
+
+
+def test_degenerate_pools_defined_behavior():
+    # All pooled values identical: scipy 1.2.1 raised ValueError (the
+    # reference crashed, myDetect.py:331).  Defined divergence: pU = 1.0,
+    # finite stU; Welch keeps scipy's NaN (0/0).  See DIVERGENCES.md.
+    v1 = np.full((2, 8), 0.5, np.float32)
+    v2 = np.full((2, 8), 0.5, np.float32)
+    v2[1] = 0.75                      # row 1: constant but different pools
+    c = np.array([6, 6], np.int32)
+    res = run_battery(v1, c, v2, c, tile_positions=8)
+    assert res.pu[0] == 1.0
+    assert np.isfinite(res.stu[0])
+    assert np.isnan(res.stt[0])       # scipy parity: 0/0 -> nan
+    assert res.pks[0] == pytest.approx(1.0, abs=1e-6)
+    # constant-but-different pools are NOT degenerate: fully separable
+    assert res.pu[1] < 0.05
+    assert res.pks[1] < 0.05
+    m = ss.mannwhitneyu(np.full(6, 0.5), np.full(6, 0.75),
+                        use_continuity=True, alternative="two-sided",
+                        method="asymptotic")
+    assert res.pu[1] == pytest.approx(m.pvalue / 2.0, rel=1e-6)
+
+
+def test_capped_ks_invariant_to_tiling():
+    # the subsample RNG is keyed per absolute row (fold_in), so the capped
+    # KS results must not depend on tile_positions — the property that makes
+    # the position-sharded multi-chip path byte-identical to single-device
+    p = 40
+    v1, c1, v2, c2 = _make_pools(p, 120, 120, shift=0.8)
+    c1[:] = 120
+    c2[:] = 120
+    cfg = StatConfig(coverages=(40, 40), downsampling=30,
+                     downsampling_quantile=0.25, downsampling_seed=3)
+    r_one = run_battery(v1, c1, v2, c2, strand="+", cfg=cfg,
+                        tile_positions=4096)
+    r_tiled = run_battery(v1, c1, v2, c2, strand="+", cfg=cfg,
+                          tile_positions=7)
+    np.testing.assert_array_equal(r_one.pks, r_tiled.pks)
+    np.testing.assert_array_equal(r_one.stks, r_tiled.stks)
+
+
 def test_combine_matches_scipy_contiguous():
     p = 40
     pks = RNG.uniform(1e-12, 1.0, size=p)
