@@ -144,16 +144,125 @@ def region_rank(table: SignTable, stat_cfg: StatConfig, rank_cfg: RankConfig):
     overlapping); each window is ranked by the percentile-th smallest p in
     it, tie-broken by the center-distance of the window minimum.  Returns
     indices into the table for the (possibly dedup'd) windows in rank order.
+
+    Fully vectorized: all candidate windows of a (chrom, strand) group are
+    scored as one [K, 2w+1] gather + masked sort (the reference walks every
+    window position in interpreted Python, prohibitive at 9.2M positions).
+    Quirk preserved from the reference (:476): a window touching the
+    group's MAXIMUM position is incomplete (``cp >= pmax`` excludes pmax
+    itself).  ``region_rank_spec`` is the direct port kept as the test
+    oracle.
     """
     w = rank_cfg.window + 1                       # ref :465 window += 1
+    offsets = np.arange(-w, w + 1)                # 2w+1 window columns
+    movesize = 1 if rank_cfg.wind_ovlp else w
+
+    st_col, p_col = table.columns(stat_cfg)
+    vals = np.asarray(p_col if rank_cfg.rank_use == "pv" else st_col,
+                      dtype=np.float64)
+
+    gid = table.group_ids
+    pos = table.positions
+    q_all, tie_all, ti_all, g_all, pk_all = [], [], [], [], []
+    for g in range(len(table.keys)):
+        sel = np.where(gid == g)[0]
+        if len(sel) == 0:
+            continue
+        gpos = pos[sel]
+        pmin, pmax = int(gpos.min()), int(gpos.max())
+        # dense position -> table-index lookup over the group's span
+        idx_at = np.full(pmax - pmin + 1, -1, dtype=np.int64)
+        idx_at[gpos - pmin] = sel
+
+        cand = np.arange(pmin, pmax, movesize, dtype=np.int64)
+        if len(cand) == 0:
+            continue
+        mat_pos = cand[:, None] + offsets[None, :]          # [K, 2w+1]
+        inb = (mat_pos >= 0) & (mat_pos < pmax)             # quirk: < pmax
+        ti = idx_at[np.clip(mat_pos - pmin, 0, pmax - pmin)]
+        # mat_pos < pmin would alias into the clip; require in-span too
+        present = inb & (mat_pos >= pmin) & (ti >= 0)
+        complete = present.all(axis=1)
+        center_ok = idx_at[cand - pmin] >= 0
+        ti = np.where(present, ti, 0)
+
+        include = present
+        if rank_cfg.na:
+            include = include & (table.base[ti] == rank_cfg.na)
+        m = include.sum(axis=1)
+        keep = complete & center_ok & (m > 5)
+        if not keep.any():
+            continue
+        ti_k = ti[keep]
+        include_k = include[keep]
+        m_k = m[keep]
+
+        pv = np.where(include_k, vals[ti_k], np.inf)
+        # percentile-th smallest of the included values (ref :502)
+        spv = np.sort(pv, axis=1)
+        k_row = (rank_cfg.percentile * (m_k - 1) + 0.5).astype(np.int64)
+        q = spv[np.arange(len(spv)), k_row]
+        # tie = |w - index of the window minimum in the FILTERED order|
+        # (ref :503: opv.index(spv[0]) on the NA-filtered list)
+        amin = np.argmin(pv, axis=1)              # first occurrence of min
+        filt_idx = np.cumsum(include_k, axis=1)[
+            np.arange(len(amin)), amin] - 1
+        tie = np.abs(w - filt_idx)
+
+        q_all.append(q)
+        tie_all.append(tie)
+        ti_all.append(idx_at[cand[keep] - pmin])
+        g_all.append(np.full(keep.sum(), g, dtype=np.int64))
+        pk_all.append(cand[keep])
+
+    if not q_all:
+        return np.empty(0, dtype=np.int64)
+    q = np.concatenate(q_all)
+    tie = np.concatenate(tie_all)
+    ti = np.concatenate(ti_all)
+    gs = np.concatenate(g_all)
+    pk = np.concatenate(pk_all)
+
+    # stable sort by (q, tie), preserving (group, pk) append order on ties
+    # like the reference's list.sort (ref :510)
+    order = np.lexsort((tie, q))
+    if not rank_cfg.wind_ovlp:
+        return ti[order]
+
+    # overlap dedup (ref :511-516): keep a window only if no kept window of
+    # the same group lies within w; occupancy bitmaps make each accept O(w)
+    # and each reject O(1)
+    span = {}
+    for g in set(gs.tolist()):
+        gsel = pos[np.where(gid == g)[0]]
+        span[g] = (int(gsel.min()), int(gsel.max()))
+    occupied = {g: np.zeros(hi - lo + 2 * w + 2, dtype=bool)
+                for g, (lo, hi) in span.items()}
+    ordered = []
+    for oi in order:
+        g = int(gs[oi])
+        lo, _ = span[g]
+        off = int(pk[oi]) - lo + w               # shifted by +w for margins
+        occ = occupied[g]
+        if occ[off]:
+            continue
+        occ[max(off - w + 1, 0): off + w] = True
+        ordered.append(int(ti[oi]))
+    return np.asarray(ordered, dtype=np.int64)
+
+
+def region_rank_spec(table: SignTable, stat_cfg: StatConfig,
+                     rank_cfg: RankConfig):
+    """Direct port of the reference's region-rank walk (myDetect.py:463-516)
+    — interpreted and slow; kept ONLY as the parity oracle for
+    ``region_rank`` (tests/test_rank_modes.py)."""
+    w = rank_cfg.window + 1
     windlist = range(-w, w + 1)
     movesize = 1 if rank_cfg.wind_ovlp else w
 
     st_col, p_col = table.columns(stat_cfg)
-    use_p = rank_cfg.rank_use == "pv"
-    vals = p_col if use_p else st_col
+    vals = p_col if rank_cfg.rank_use == "pv" else st_col
 
-    # per (chrom,strand): position -> table index
     windseg = []
     gid = table.group_ids
     pos = table.positions

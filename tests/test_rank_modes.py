@@ -5,7 +5,9 @@ import numpy as np
 import pytest
 
 from nanomod_tpu.config import RankConfig, StatConfig
-from nanomod_tpu.rank.ranking import SignTable, region_rank, sort_sites, top_sites
+from nanomod_tpu.rank.ranking import (SignTable, region_rank,
+                                      region_rank_spec, sort_sites,
+                                      top_sites)
 from nanomod_tpu.stats.battery import TestResult
 
 
@@ -91,6 +93,57 @@ def test_region_rank_na_filter():
     # no G positions at all -> pvlists are empty -> len<=5 -> no windows
     order = region_rank(t, StatConfig(), cfg_r)
     assert len(order) == 0
+
+
+def _random_table(seed, p=120, gaps=True, groups=2):
+    rng = np.random.default_rng(seed)
+    keys = [("chr1", "+"), ("chr2", "-")][:groups]
+    gid = np.sort(rng.integers(0, groups, p)).astype(np.int64)
+    positions = np.empty(p, np.int64)
+    for g in range(groups):
+        n = int((gid == g).sum())
+        step = rng.integers(1, 3, n) if gaps else np.ones(n, np.int64)
+        positions[gid == g] = 50 + np.cumsum(step)
+    pcomb = rng.uniform(1e-12, 1.0, p)
+    res = TestResult(
+        stu=rng.uniform(0, 100, p), pu=rng.uniform(0.01, 1, p),
+        stt=rng.normal(0, 1, p), pt=rng.uniform(0.01, 1, p),
+        stks=rng.uniform(0, 1, p), pks=rng.uniform(1e-10, 1, p),
+        stcomb=-np.log(pcomb), pcomb=pcomb,
+    )
+    base = rng.choice(list("ACGT"), p)
+    return SignTable(keys=keys, group_ids=gid, positions=positions,
+                     base=base.astype("<U1"),
+                     cov1=np.full(p, 10, np.int32),
+                     cov2=np.full(p, 10, np.int32), res=res)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("wind_ovlp", [False, True])
+@pytest.mark.parametrize("na", ["", "A"])
+@pytest.mark.parametrize("rank_use", ["pv", "st"])
+def test_region_rank_matches_spec(seed, wind_ovlp, na, rank_use):
+    """The vectorized region_rank must reproduce the direct reference port
+    (region_rank_spec) on randomized tables with gaps, multiple groups, NA
+    filtering and both overlap modes."""
+    t = _random_table(seed, gaps=(seed % 2 == 0))
+    cfg = RankConfig(window=3, region_rank_by_st=True, percentile=0.25,
+                     wind_ovlp=wind_ovlp, na=na, rank_use=rank_use)
+    got = region_rank(t, StatConfig(), cfg)
+    want = region_rank_spec(t, StatConfig(), cfg)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_region_rank_scales():
+    """region mode must survive large position counts (the reference's
+    per-position Python walk was minutes at genome scale)."""
+    import time
+    t = _random_table(9, p=200_000, gaps=False, groups=1)
+    cfg = RankConfig(window=10, region_rank_by_st=True, wind_ovlp=True)
+    t0 = time.time()
+    order = region_rank(t, StatConfig(), cfg)
+    assert time.time() - t0 < 10.0
+    assert len(order) > 0
 
 
 def test_region_rank_overlap_dedup():
