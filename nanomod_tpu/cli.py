@@ -80,6 +80,8 @@ def cmd_detect(a):
         min_lr=a.min_lr, min_lr_nb=a.min_lr_nb, mstd=bool(a.mstd),
         save_test=bool(a.SaveTest), plot_type=a.plotType, make_plots=True,
         metrics_file=a.metricsFile or None, profile_dir=a.profileDir or None,
+        n_devices=a.n_devices, tile_positions=a.tile_positions,
+        pool_capacity=a.pool_capacity,
     )
     if a.Pos:
         parts = a.Pos.split(":")
@@ -203,6 +205,16 @@ def build_parser():
                    help="write per-stage timing/throughput JSON here")
     p.add_argument("--profileDir", default="",
                    help="jax.profiler trace dir (XProf/TensorBoard)")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="shard the test battery + combination over an "
+                        "n-device mesh (0 = single device); output is "
+                        "byte-identical to the single-device run")
+    p.add_argument("--tile_positions", type=int, default=512,
+                   help="positions per device stats tile")
+    p.add_argument("--pool_capacity", type=int, default=0,
+                   help="cap per-position signal reservoirs (deterministic "
+                        "subsample beyond the cap; 0 = keep everything). "
+                        "Bounds pool memory at genome scale")
     p.set_defaults(func=cmd_detect)
 
     p = sub.add_parser("simulate", help="percentage-mixing simulation")

@@ -101,6 +101,10 @@ class DetectConfig:
     make_plots: bool = False
 
     # engine knobs (new — no reference counterpart)
+    # >1 shards the test battery + neighbor combination over an n-device
+    # ('data','pos') mesh (parallel/sharded.py); byte-identical output to
+    # the single-device path.  0/1 = single device.
+    n_devices: int = 0
     tile_positions: int = 512      # positions per stats tile
     # cap on the per-position signal reservoir (0 = exact/unbounded, like
     # the reference's Python lists); >0 keeps a deterministic random

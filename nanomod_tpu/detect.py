@@ -112,6 +112,12 @@ def detect_from_pools(
     pools1 = {k: v for k, v in pools1.items() if v.num_positions}
     pools2 = {k: v for k, v in pools2.items() if v.num_positions}
 
+    mesh = None
+    if cfg.n_devices and cfg.n_devices > 1:
+        from nanomod_tpu.parallel.mesh import make_mesh
+        from nanomod_tpu.parallel.sharded import sharded_join_battery
+        mesh = make_mesh(cfg.n_devices)
+
     keys = []
     parts = []
     with stage("test_battery", unit="positions") as s:
@@ -121,11 +127,20 @@ def detect_from_pools(
             bad = g1.base[i1] != g2.base[i2]
             if bad.any() and cfg.out_level <= OUTPUT_INFO:
                 print(f"Warning: {bad.sum()} base mismatches between groups at {key}")
-            res = run_battery(
-                g1.values[i1], g1.counts[i1], g2.values[i2], g2.counts[i2],
-                strand=key[1], cfg=cfg.stats, tile_positions=cfg.tile_positions,
-                want_mstd=cfg.mstd,
-            )
+            if mesh is not None:
+                # position-sharded multi-chip path: battery + halo-exchanged
+                # neighbor combination per join (parallel/sharded.py)
+                res = sharded_join_battery(
+                    mesh, g1.values[i1], g1.counts[i1],
+                    g2.values[i2], g2.counts[i2], positions=common,
+                    strand=key[1], cfg=cfg.stats, want_mstd=cfg.mstd,
+                )
+            else:
+                res = run_battery(
+                    g1.values[i1], g1.counts[i1], g2.values[i2], g2.counts[i2],
+                    strand=key[1], cfg=cfg.stats, tile_positions=cfg.tile_positions,
+                    want_mstd=cfg.mstd,
+                )
             keys.append(key)
             parts.append((key, common, g2.base[i2], g1.counts[i1], g2.counts[i2], res))
             s.add(len(common))
@@ -159,6 +174,11 @@ def detect_from_pools(
         if cfg.stats.neighbor_pvalues == 0:
             # ref myDetect.py:413: the KS tuple is reused as the 4th column
             res.stcomb, res.pcomb = res.stks.copy(), res.pks.copy()
+        elif mesh is not None:
+            # already combined per join on the mesh (halo exchange covers
+            # shard boundaries; join boundaries are invalid neighbors in
+            # both paths, so per-join == global combination)
+            res.stcomb, res.pcomb = cat("stcomb"), cat("pcomb")
         else:
             with stage("combine_pvalues", unit="positions") as s:
                 res.stcomb, res.pcomb = combine_neighbor_pvalues(

@@ -89,6 +89,79 @@ def _tile_slice(values, counts, lo, hi, cap, p_tile):
     return v, c
 
 
+def finalize_packed(packed: np.ndarray, n_rows: int, n1: np.ndarray,
+                    n2: np.ndarray, cap_np: np.ndarray | None, cov: int,
+                    is_milli: bool, want_mstd: bool) -> dict:
+    """Host float64 finalization of one fetched packed-component block.
+
+    packed [7|9, >=n_rows] from battery_components_packed[_milli]; cap_np
+    the fetched capped-KS D (or None); n1/n2 the TRUE counts [n_rows].
+    Shared by the single-device tile loop (run_battery) and the
+    position-sharded multi-chip path (parallel/sharded.py) so both produce
+    bit-identical statistics from identical device components.
+    Returns {stu, pu, stt, pt, stks, pks[, mstd]}.
+    """
+    sl = slice(0, n_rows)
+    out = {}
+    two_rank_sum = packed[1].view(np.int32)[sl]
+    tie_sum = packed[2].view(np.int32)[sl]
+
+    n1f = n1.astype(np.float64)
+    n2f = n2.astype(np.float64)
+
+    # Mann-Whitney U (ref myDetect.py:331-333)
+    u_min, zstat = kernels.mwu_from_components(two_rank_sum, tie_sum, n1, n2)
+    out["stu"] = special.clamp_stat(u_min)
+    out["pu"] = special.clamp_p(special.mwu_pvalue(zstat))
+
+    # Welch t (ref myDetect.py:335-337).  Milli tiles carry exact integer
+    # Σ/Σx² -> f64-exact moments; f32 tiles use the two-pass f32 device
+    # moments with documented ~1e-6 relative tolerance.
+    if is_milli:
+        i32 = lambda row: packed[row].view(np.int32)[sl]
+        t, df, (va1, va2), (m1, m2) = kernels.welch_finalize_exact(
+            i32(3), i32(4), i32(5), n1, i32(6), i32(7), i32(8), n2)
+    else:
+        m1, m2 = packed[3][sl], packed[5][sl]
+        t, df, (va1, va2) = kernels.welch_finalize(
+            m1, packed[4][sl], n1, m2, packed[6][sl], n2)
+    out["stt"] = special.clamp_stat(t)
+    out["pt"] = special.clamp_p(special.welch_pvalue(t, df))
+    if want_mstd:
+        mstd = np.empty((n_rows, 4), dtype=np.float64)
+        mstd[:, 0] = m1
+        mstd[:, 1] = np.sqrt(va1 * np.maximum(n1f - 1, 1) / np.maximum(n1f, 1))
+        mstd[:, 2] = m2
+        mstd[:, 3] = np.sqrt(va2 * np.maximum(n2f - 1, 1) / np.maximum(n2f, 1))
+        out["mstd"] = mstd
+
+    # KS, with optional capped repeated-subsample variant
+    # (ref myDetect.py:339-361).  The device ships the exact integer
+    # numerator; D = num/(n1*n2) in f64 is bit-identical to an exact
+    # rational oracle (no f32 perturbation of formatted p-values).
+    d_plain = packed[0].view(np.int32)[sl].astype(np.float64) / (n1f * n2f)
+    if cov > 0:
+        need_cap = (n1 > cov) | (n2 > cov)
+    else:
+        need_cap = np.zeros(n_rows, dtype=bool)
+    if cap_np is not None and need_cap.any():
+        ne1 = np.minimum(n1f, cov)
+        ne2 = np.minimum(n2f, cov)
+        d_cap = cap_np[sl].astype(np.float64) / (ne1 * ne2)
+        d_sel = np.where(need_cap, d_cap, d_plain)
+        p_ks = np.where(
+            need_cap,
+            special.ks_pvalue(d_cap, ne1, ne2),
+            special.ks_pvalue(d_plain, n1f, n2f),
+        )
+    else:
+        d_sel = d_plain
+        p_ks = special.ks_pvalue(d_plain, n1f, n2f)
+    out["stks"] = special.clamp_stat(d_sel)
+    out["pks"] = special.clamp_p(p_ks)
+    return out
+
+
 def run_battery(
     values1: np.ndarray,
     counts1: np.ndarray,
@@ -166,61 +239,14 @@ def run_battery(
     def finalize(rec):
         """Fetch one tile (single packed D2H) + host float64 finalization."""
         lo, hi, n1, n2, comp_dev, cap_dev, is_milli = rec
-        sl = slice(0, hi - lo)
         packed = np.asarray(comp_dev)   # ONE D2H fetch per tile
-        two_rank_sum = packed[1].view(np.int32)[sl]
-        tie_sum = packed[2][sl]
-
-        n1f = n1.astype(np.float64)
-        n2f = n2.astype(np.float64)
-
-        # Mann-Whitney U (ref myDetect.py:331-333)
-        u_min, zstat = kernels.mwu_from_components(
-            two_rank_sum, tie_sum, n1, n2)
-        out["stu"][lo:hi] = special.clamp_stat(u_min)
-        out["pu"][lo:hi] = special.clamp_p(special.mwu_pvalue(zstat))
-
-        # Welch t (ref myDetect.py:335-337).  Milli tiles carry exact
-        # integer Σ/Σx² -> f64-exact moments; f32 tiles use the two-pass f32
-        # device moments with documented ~1e-6 relative tolerance.
-        if is_milli:
-            i32 = lambda row: packed[row].view(np.int32)[sl]
-            t, df, (va1, va2), (m1, m2) = kernels.welch_finalize_exact(
-                i32(3), i32(4), i32(5), n1, i32(6), i32(7), i32(8), n2)
-        else:
-            m1, m2 = packed[3][sl], packed[5][sl]
-            t, df, (va1, va2) = kernels.welch_finalize(
-                m1, packed[4][sl], n1, m2, packed[6][sl], n2)
-        out["stt"][lo:hi] = special.clamp_stat(t)
-        out["pt"][lo:hi] = special.clamp_p(special.welch_pvalue(t, df))
+        cap_np = None if cap_dev is None else np.asarray(cap_dev)
+        cols = finalize_packed(packed, hi - lo, n1, n2, cap_np, cov,
+                               is_milli, want_mstd)
+        for k in ("stu", "pu", "stt", "pt", "stks", "pks"):
+            out[k][lo:hi] = cols[k]
         if want_mstd:
-            mstd[lo:hi, 0] = m1
-            mstd[lo:hi, 1] = np.sqrt(va1 * np.maximum(n1f - 1, 1) / np.maximum(n1f, 1))
-            mstd[lo:hi, 2] = m2
-            mstd[lo:hi, 3] = np.sqrt(va2 * np.maximum(n2f - 1, 1) / np.maximum(n2f, 1))
-
-        # KS, with optional capped repeated-subsample variant
-        # (ref myDetect.py:339-361)
-        d_plain = packed[0][sl].astype(np.float64)
-        if cov > 0:
-            need_cap = (n1 > cov) | (n2 > cov)
-        else:
-            need_cap = np.zeros(hi - lo, dtype=bool)
-        if cap_dev is not None and need_cap.any():
-            d_cap = np.asarray(cap_dev)[sl].astype(np.float64)
-            ne1 = np.minimum(n1f, cov)
-            ne2 = np.minimum(n2f, cov)
-            d_sel = np.where(need_cap, d_cap, d_plain)
-            p_ks = np.where(
-                need_cap,
-                special.ks_pvalue(d_cap, ne1, ne2),
-                special.ks_pvalue(d_plain, n1f, n2f),
-            )
-        else:
-            d_sel = d_plain
-            p_ks = special.ks_pvalue(d_plain, n1f, n2f)
-        out["stks"][lo:hi] = special.clamp_stat(d_sel)
-        out["pks"][lo:hi] = special.clamp_p(p_ks)
+            mstd[lo:hi] = cols["mstd"]
 
     max_inflight = 8
     if len(ranges) > 1:

@@ -39,9 +39,18 @@ import numpy as np
 _INF = jnp.float32(jnp.inf)
 
 
-def _scan_components(zs, labs, n1f, n2f):
-    """KS D + doubled rank sums + tie sums from the key-value-sorted pooled
-    sample (pads = +inf at the end of each row)."""
+def _scan_components(zs, labs, n1i, n2i):
+    """KS D numerator + doubled rank sums + tie sums from the key-value-
+    sorted pooled sample (pads = +inf at the end of each row).
+
+    ALL THREE outputs are exact int32: the KS statistic is returned as the
+    integer numerator max|k*n2 - m*n1| (D = num / (n1*n2), finalized in
+    float64 on host) so D is BIT-identical to an exact rational oracle —
+    an f32 D would perturb `%.3E`-formatted p-values at rounding
+    boundaries.  Exactness bounds (i32): n1*n2 < 2^31 and pooled width
+    < ~1290 for the tie sum — far above real per-position coverage; the
+    pool_capacity cap enforces the bound at pathological depths.
+    """
     p_dim, n_dim = zs.shape
     neq = zs[:, 1:] != zs[:, :-1]
     is_end = jnp.concatenate([neq, jnp.ones((p_dim, 1), bool)], axis=1)
@@ -55,10 +64,10 @@ def _scan_components(zs, labs, n1f, n2f):
                              reverse=True)
 
     # KS: F1/F2 only change at tie-run ends; cum_a counts group-1 <= value
-    cum_a = jnp.cumsum(labs, axis=1)
-    pos1 = jnp.arange(1, n_dim + 1, dtype=jnp.float32)[None, :]
-    diff = jnp.abs(cum_a / n1f[:, None] - (pos1 - cum_a) / n2f[:, None])
-    d = jnp.max(jnp.where(is_end & zvalid, diff, 0.0), axis=1)
+    cum_a = jnp.cumsum(labs.astype(jnp.int32), axis=1)
+    pos1 = jnp.arange(1, n_dim + 1, dtype=jnp.int32)[None, :]
+    num = jnp.abs(cum_a * n2i[:, None] - (pos1 - cum_a) * n1i[:, None])
+    d_num = jnp.max(jnp.where(is_end & zvalid, num, 0), axis=1)
 
     # MWU: average-tie rank (1-based, doubled): 2r = run_start + run_end + 2
     two_rank_sum = jnp.sum(
@@ -67,9 +76,9 @@ def _scan_components(zs, labs, n1f, n2f):
 
     # tie correction Σ_t (t^3 - t): each element in a run of length t
     # contributes t^2 - 1
-    t_run = (run_end - run_start + 1).astype(jnp.float32)
-    tie_sum = jnp.sum(jnp.where(zvalid, t_run * t_run - 1.0, 0.0), axis=1)
-    return d, two_rank_sum, tie_sum
+    t_run = run_end - run_start + 1
+    tie_sum = jnp.sum(jnp.where(zvalid, t_run * t_run - 1, 0), axis=1)
+    return d_num, two_rank_sum, tie_sum
 
 
 @jax.jit
@@ -82,8 +91,9 @@ def battery_components(values1, counts1, values2, counts2):
     exact, order/tie-preserving half-size wire format for the host->HBM
     link.
 
-    Returns dict with per-position arrays: ks_d, two_rank_sum, tie_sum,
-    and Welch mean/sum-of-squares moments (f32; host finalizes in f64).
+    Returns dict with per-position arrays: ks_num (exact i32 KS numerator;
+    D = ks_num / (n1*n2)), two_rank_sum, tie_sum (exact i32), and Welch
+    mean/sum-of-squares moments (f32; host finalizes in f64).
     """
     if values1.dtype == jnp.int16:
         values1 = values1.astype(jnp.float32) * jnp.float32(1e-3)
@@ -103,7 +113,9 @@ def battery_components(values1, counts1, values2, counts2):
         [mask1.astype(jnp.float32), jnp.zeros((p_dim, c2), jnp.float32)],
         axis=1)
     zs, labs = jax.lax.sort((z, lab), dimension=1, num_keys=1)
-    d, trs, ties = _scan_components(zs, labs, n1f, n2f)
+    d_num, trs, ties = _scan_components(zs, labs,
+                                        counts1.astype(jnp.int32),
+                                        counts2.astype(jnp.int32))
 
     # Welch f32 moments (two-pass)
     va1 = jnp.where(mask1, values1, 0.0)
@@ -113,7 +125,7 @@ def battery_components(values1, counts1, values2, counts2):
     ss1 = jnp.where(mask1, (values1 - m1[:, None]) ** 2, 0.0).sum(axis=1)
     ss2 = jnp.where(mask2, (values2 - m2[:, None]) ** 2, 0.0).sum(axis=1)
 
-    return {"ks_d": d, "two_rank_sum": trs, "tie_sum": ties,
+    return {"ks_num": d_num, "two_rank_sum": trs, "tie_sum": ties,
             "mean1": m1, "ss1": ss1, "mean2": m2, "ss2": ss2}
 
 
@@ -122,13 +134,17 @@ def battery_components_packed(values1, counts1, values2, counts2):
     """battery_components with all 7 per-position outputs stacked into ONE
     [7, P] f32 array so the host pays a single D2H round-trip per tile
     (the tunneled-chip link is latency-bound; 7 small fetches cost ~7x one).
-    Row 1 (two_rank_sum) is the exact int32, bitcast to f32 for the pack —
-    the host views it back with ``.view(np.int32)``.
-    Row order: ks_d, two_rank_sum, tie_sum, mean1, ss1, mean2, ss2.
+    Rows 0-2 (ks_num, two_rank_sum, tie_sum) are exact int32, bitcast to
+    f32 for the pack — the host views them back with ``.view(np.int32)``.
+    Row order: ks_num, two_rank_sum, tie_sum, mean1, ss1, mean2, ss2.
     """
     c = battery_components.__wrapped__(values1, counts1, values2, counts2)
-    trs_f = jax.lax.bitcast_convert_type(c["two_rank_sum"], jnp.float32)
-    return jnp.stack([c["ks_d"], trs_f, c["tie_sum"],
+
+    def bc(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    return jnp.stack([bc(c["ks_num"]), bc(c["two_rank_sum"]),
+                      bc(c["tie_sum"]),
                       c["mean1"], c["ss1"], c["mean2"], c["ss2"]])
 
 
@@ -156,19 +172,16 @@ def battery_components_packed_milli(values1, counts1, values2, counts2):
 
     values* [P, C*] int16 (value*1000 — exact for the system-wide 3-decimal
     rounding invariant, ref myRefBaseSignalAnnotation.py:259).  Returns
-    [9, P] f32 with integer rows bitcast:
-      0 ks_d (f32), 1 two_rank_sum (i32), 2 tie_sum (f32),
-      3 sum1 (i32), 4 sumsq1_hi (i32), 5 sumsq1_lo (i32),
-      6 sum2 (i32), 7 sumsq2_hi (i32), 8 sumsq2_lo (i32)
-    The host finalizes mean/variance in float64 from the exact integer sums
-    (kernels.welch_finalize_exact).
+    [9, P] f32 with ALL rows exact int32 bitcast to f32:
+      0 ks_num (D = ks_num/(n1*n2)), 1 two_rank_sum, 2 tie_sum,
+      3 sum1, 4 sumsq1_hi, 5 sumsq1_lo, 6 sum2, 7 sumsq2_hi, 8 sumsq2_lo
+    The host finalizes D/mean/variance in float64 from the exact integer
+    components (kernels.welch_finalize_exact, battery.finalize_packed).
     """
     p_dim, c1 = values1.shape
     _, c2 = values2.shape
     mask1 = jnp.arange(c1)[None, :] < counts1[:, None]
     mask2 = jnp.arange(c2)[None, :] < counts2[:, None]
-    n1f = counts1.astype(jnp.float32)
-    n2f = counts2.astype(jnp.float32)
 
     v1f = values1.astype(jnp.float32) * jnp.float32(1e-3)
     v2f = values2.astype(jnp.float32) * jnp.float32(1e-3)
@@ -179,7 +192,9 @@ def battery_components_packed_milli(values1, counts1, values2, counts2):
         [mask1.astype(jnp.float32), jnp.zeros((p_dim, c2), jnp.float32)],
         axis=1)
     zs, labs = jax.lax.sort((z, lab), dimension=1, num_keys=1)
-    d, trs, ties = _scan_components(zs, labs, n1f, n2f)
+    d_num, trs, ties = _scan_components(zs, labs,
+                                        counts1.astype(jnp.int32),
+                                        counts2.astype(jnp.int32))
 
     s1a, hia, loa = _milli_exact_sums(values1, mask1)
     s1b, hib, lob = _milli_exact_sums(values2, mask2)
@@ -187,7 +202,7 @@ def battery_components_packed_milli(values1, counts1, values2, counts2):
     def bc(x):
         return jax.lax.bitcast_convert_type(x, jnp.float32)
 
-    return jnp.stack([d, bc(trs), ties,
+    return jnp.stack([bc(d_num), bc(trs), bc(ties),
                       bc(s1a), bc(hia), bc(loa),
                       bc(s1b), bc(hib), bc(lob)])
 
@@ -227,10 +242,15 @@ def welch_finalize_exact(sum1, sumsq1_hi, sumsq1_lo, n1,
 def pooled_rank_components(z, lab, n1, n2):
     """Rank/KS components from a pre-pooled, pre-sorted-padding layout:
     z [P, N] f32 with +inf pads, lab [P, N] f32 (1.0 = group 1), n1/n2 [P]
-    f32.  Used by the position-sharded multi-chip path (parallel/mesh.py).
+    f32.  Returns (d f32, two_rank_sum i32, tie_sum i32); used by the
+    sharded demo step (parallel/mesh.py) and the driver compile check.
     """
     zs, labs = jax.lax.sort((z, lab), dimension=1, num_keys=1)
-    return _scan_components(zs, labs, n1, n2)
+    d_num, trs, ties = _scan_components(zs, labs,
+                                        n1.astype(jnp.int32),
+                                        n2.astype(jnp.int32))
+    d = d_num.astype(jnp.float32) / (n1 * n2)
+    return d, trs, ties
 
 
 # ---------------------------------------------------------------------------
@@ -249,10 +269,13 @@ def capped_ks_d(values1, counts1, values2, counts2, row_index=None, *, cov,
                 repeats, quantile_idx, seed):
     """Quantile-selected KS D over `repeats` subsamples, per position.
 
-    values* [P, C*] f32 raw pools (padding ignored).  Returns d_sel [P]:
-    the quantile_idx-th largest D (== quantile_idx-th smallest p).
-    Effective sizes are min(count, cov); the caller computes p on host with
-    those sizes.
+    values* [P, C*] f32 raw pools (padding ignored).  Returns the exact
+    int32 KS NUMERATOR [P] of the quantile_idx-th largest D (== the
+    quantile_idx-th smallest p: for fixed effective sizes p is monotone
+    decreasing in D, and per row the denominator ne1*ne2 is constant so
+    selecting by numerator == selecting by D).  Effective sizes are
+    min(count, cov); the caller computes D = num/(ne1*ne2) and p on host
+    in float64.
 
     row_index [P] i32 gives each row's ABSOLUTE index within its
     (chrom, strand) join: the subsample RNG is keyed per position as
@@ -287,8 +310,8 @@ def capped_ks_d(values1, counts1, values2, counts2, row_index=None, *, cov,
 
     idx1, idx2 = jax.vmap(row_draws)(row_index, counts1, counts2)
 
-    ne1 = jnp.minimum(counts1, cov).astype(jnp.float32)
-    ne2 = jnp.minimum(counts2, cov).astype(jnp.float32)
+    ne1 = jnp.minimum(counts1, cov).astype(jnp.int32)
+    ne2 = jnp.minimum(counts2, cov).astype(jnp.int32)
 
     def one_repeat(r):
         g1 = jnp.take_along_axis(v1, idx1[:, r, :], axis=1)
@@ -300,12 +323,12 @@ def capped_ks_d(values1, counts1, values2, counts2, row_index=None, *, cov,
             [jnp.ones((p_dim, cov), jnp.float32),
              jnp.zeros((p_dim, cov), jnp.float32)], axis=1)
         zs, labs = jax.lax.sort((z, lab), dimension=1, num_keys=1)
-        d, _, _ = _scan_components(zs, labs, ne1, ne2)
-        return d
+        d_num, _, _ = _scan_components(zs, labs, ne1, ne2)
+        return d_num
 
-    ds = jax.vmap(one_repeat, out_axes=1)(jnp.arange(repeats))  # [P, R]
-    ds_desc = -jnp.sort(-ds, axis=1)
-    return ds_desc[:, quantile_idx]
+    nums = jax.vmap(one_repeat, out_axes=1)(jnp.arange(repeats))  # [P, R] i32
+    nums_desc = -jnp.sort(-nums, axis=1)
+    return nums_desc[:, quantile_idx]
 
 
 def mwu_from_components(two_rank_sum, tie_sum, n1, n2):

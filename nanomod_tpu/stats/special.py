@@ -44,8 +44,8 @@ def ks_pvalue(d, n1, n2):
     d = np.asarray(d, dtype=np.float64)
     n1 = np.asarray(n1, dtype=np.float64)
     n2 = np.asarray(n2, dtype=np.float64)
-    en = np.sqrt(n1 * n2 / (n1 + n2))
     with np.errstate(divide="ignore", invalid="ignore"):
+        en = np.sqrt(n1 * n2 / (n1 + n2))
         p = _dist.kstwobign.sf((en + 0.12 + 0.11 / en) * d)
     return np.where(np.isfinite(p), p, 1.0)
 

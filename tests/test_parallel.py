@@ -72,6 +72,79 @@ def test_distributed_detect_step(mesh):
     np.testing.assert_allclose(np.asarray(d_all), d_ref, rtol=1e-6)
 
 
+@pytest.fixture(scope="module")
+def corrected_dataset(tmp_path_factory):
+    import os
+    from fixtures import make_genome, make_corrected_dataset
+    root = str(tmp_path_factory.mktemp("shds"))
+    chrom, genome = make_genome(length=400, seed=7)
+    ctrl = os.path.join(root, "control")
+    case = os.path.join(root, "case")
+    make_corrected_dataset(ctrl, chrom, genome, n_reads=24, seed=1)
+    make_corrected_dataset(case, chrom, genome, n_reads=24, seed=2,
+                           mod_pos=173, mod_delta=1.0)
+    return root, ctrl, case
+
+
+def _detect_bytes(root, ctrl, case, file_id, **kw):
+    import os
+    from nanomod_tpu.config import DetectConfig, RankConfig, replace
+    from nanomod_tpu.detect import run_detect
+    cfg = DetectConfig(wrk_base1=ctrl, wrk_base2=case,
+                       out_folder=os.path.join(root, "out"),
+                       file_id=file_id, min_lr=0, rank=RankConfig(window=4))
+    cfg = replace(cfg, **kw)
+    run_detect(cfg)
+    with open(os.path.join(root, "out", f"{file_id}_sign_test.txt"), "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("method", ["stouffer", "fisher", "ks"])
+def test_sharded_detect_byte_identical(corrected_dataset, method):
+    """`detect --n_devices 8` must produce a _sign_test.txt byte-identical
+    to the single-device run (VERDICT r1 next-step #1).  Exercises the
+    position-sharded battery, the exact milli Welch path and the
+    halo-exchanged neighbor combination on the 8-CPU mesh."""
+    root, ctrl, case = corrected_dataset
+    kw = {"stats.test_method": method}
+    single = _detect_bytes(root, ctrl, case, f"single_{method}", **kw)
+    sharded = _detect_bytes(root, ctrl, case, f"shard_{method}",
+                            n_devices=8, **kw)
+    assert len(single) > 1000
+    assert sharded == single
+
+
+def test_sharded_detect_byte_identical_capped(corrected_dataset):
+    """Byte identity with the capped repeated-subsample KS active (the
+    per-absolute-row RNG keying makes the draws sharding-invariant)."""
+    root, ctrl, case = corrected_dataset
+    kw = {"stats.coverages": (10, 10), "mstd": True}
+    single = _detect_bytes(root, ctrl, case, "single_cap", **kw)
+    sharded = _detect_bytes(root, ctrl, case, "shard_cap", n_devices=8, **kw)
+    assert sharded == single
+    import os
+    with open(os.path.join(root, "out", "single_cap_meanstd.cvs"), "rb") as f:
+        m1 = f.read()
+    with open(os.path.join(root, "out", "shard_cap_meanstd.cvs"), "rb") as f:
+        m2 = f.read()
+    assert m1 == m2 and len(m1) > 100
+
+
+def test_stencil_halo_uses_collective_permute(mesh):
+    """The neighbor stencil's halo exchange must compile to
+    collective-permute (fixed-size boundary transfer), not all-gather."""
+    import jax.numpy as jnp
+    from nanomod_tpu.parallel.sharded import _stencil_fn
+    fn = _stencil_fn(mesh, 2, 0)
+    P = 64
+    args = (jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32),
+            jnp.ones(P, jnp.int32), jnp.ones(P, jnp.int32),
+            jnp.arange(P, dtype=jnp.int32), jnp.ones(P, bool))
+    hlo = fn.lower(*args).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
+
+
 def test_shard_list_round_robin():
     from nanomod_tpu.parallel.dist import shard_list
     items = list(range(10))
