@@ -206,7 +206,9 @@ def save_sign_test(table: SignTable, cfg: DetectConfig) -> str:
     os.makedirs(cfg.out_folder, exist_ok=True)
     path = os.path.join(cfg.out_folder, f"{cfg.file_id}_sign_test.txt")
     r = table.res
-    has_comb = (cfg.stats.neighbor_pvalues > 0 and cfg.stats.test_method != "ks")
+    # neighborPvalues == 0 still emits the 4th column pair (the KS tuple is
+    # appended verbatim, ref myDetect.py:413); only testMethod 'ks' omits it
+    has_comb = (cfg.stats.test_method != "ks" and r.pcomb is not None)
     with open(path, "w") as f:
         for i in range(len(table)):
             chrom, strand = table.chrom_strand(i)

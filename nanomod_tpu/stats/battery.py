@@ -119,20 +119,27 @@ def finalize_packed(packed: np.ndarray, n_rows: int, n1: np.ndarray,
     # moments with documented ~1e-6 relative tolerance.
     if is_milli:
         i32 = lambda row: packed[row].view(np.int32)[sl]
-        t, df, (va1, va2), (m1, m2) = kernels.welch_finalize_exact(
-            i32(3), i32(4), i32(5), n1, i32(6), i32(7), i32(8), n2)
+        t, df, (va1, va2), (m1, m2), (ssx1, ssx2) = \
+            kernels.welch_finalize_exact(
+                i32(3), i32(4), i32(5), n1, i32(6), i32(7), i32(8), n2)
     else:
         m1, m2 = packed[3][sl], packed[5][sl]
         t, df, (va1, va2) = kernels.welch_finalize(
             m1, packed[4][sl], n1, m2, packed[6][sl], n2)
+        ssx1 = ssx2 = None
     out["stt"] = special.clamp_stat(t)
     out["pt"] = special.clamp_p(special.welch_pvalue(t, df))
     if want_mstd:
         mstd = np.empty((n_rows, 4), dtype=np.float64)
         mstd[:, 0] = m1
-        mstd[:, 1] = np.sqrt(va1 * np.maximum(n1f - 1, 1) / np.maximum(n1f, 1))
         mstd[:, 2] = m2
-        mstd[:, 3] = np.sqrt(va2 * np.maximum(n2f - 1, 1) / np.maximum(n2f, 1))
+        if ssx1 is not None:
+            # population std straight from the exact decimal-domain sums
+            mstd[:, 1] = np.sqrt(np.maximum(ssx1, 0.0) / np.maximum(n1f, 1))
+            mstd[:, 3] = np.sqrt(np.maximum(ssx2, 0.0) / np.maximum(n2f, 1))
+        else:
+            mstd[:, 1] = np.sqrt(va1 * np.maximum(n1f - 1, 1) / np.maximum(n1f, 1))
+            mstd[:, 3] = np.sqrt(va2 * np.maximum(n2f - 1, 1) / np.maximum(n2f, 1))
         out["mstd"] = mstd
 
     # KS, with optional capped repeated-subsample variant

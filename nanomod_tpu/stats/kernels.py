@@ -215,7 +215,7 @@ def welch_finalize_exact(sum1, sumsq1_hi, sumsq1_lo, n1,
     (÷1e3 / ÷1e6) in float64 and applies the same Welch-Satterthwaite
     formulas as welch_finalize.  All integer sums are exact, so t/df carry
     only final-f64-operation rounding (vs the f32 accumulation of the plain
-    path).  Returns (t, df, (v1, v2), (mean1, mean2))."""
+    path).  Returns (t, df, (v1, v2), (mean1, mean2), (ss1, ss2))."""
     n1 = n1.astype(np.float64)
     n2 = n2.astype(np.float64)
     s1 = sum1.astype(np.float64)
@@ -235,7 +235,7 @@ def welch_finalize_exact(sum1, sumsq1_hi, sumsq1_lo, n1,
         df = (vn1 + vn2) ** 2 / (vn1 ** 2 / (n1 - 1.0) + vn2 ** 2 / (n2 - 1.0))
         t = (mean1 - mean2) / np.sqrt(vn1 + vn2)
     df = np.where(np.isnan(df), 1.0, df)
-    return t, df, (v1, v2), (mean1, mean2)
+    return t, df, (v1, v2), (mean1, mean2), (ss1, ss2)
 
 
 @jax.jit
