@@ -1,16 +1,23 @@
 #!/usr/bin/env python
-"""Benchmark: per-position two-sample test battery throughput (sites/sec).
+"""Benchmark: detect battery throughput (primary) + Annotate resquiggle
+throughput (secondary), in ONE JSON line.
 
-Workload: the detect hot path at E. coli scale — P genome positions with
-~C-deep signal pools per group, full KS + Mann-Whitney U + Welch-t battery
-plus weighted-Stouffer neighbor combination and ranking.
+Primary workload: the detect hot path at E. coli scale — P genome positions
+with ~C-deep signal pools per group, full KS + Mann-Whitney U + Welch-t
+battery plus weighted-Stouffer neighbor combination and ranking.  Baseline:
+the reference's per-position scipy loop (ref bin/scripts/myDetect.py:416-438,
+single-threaded), measured on a sample each run and extrapolated.
 
-Baseline: the reference implementation's per-position scipy loop
-(ref bin/scripts/myDetect.py:416-438 runs mannwhitneyu + ttest_ind +
-ks_2samp one position at a time, single-threaded), measured on a sample
-here and extrapolated.
+Secondary workload (the reference's HEAVIEST phase, SURVEY.md §3.1): the
+full Annotate pipeline — HDF5 ingest, event extraction, normalization,
+seeding, banded-DP alignment, native indel correction, FAST5 write-back —
+on synthetic 2 kb raw reads with 3% basecall errors.  Baseline: the FIXED
+reference-equivalent rate recorded in BASELINE.md (5.5 reads/s/core,
+override with NANOMOD_REF_ANNOTATE_RATE); set BENCH_SKIP_ANNOTATE=1 to
+skip it.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "secondary": {...}}
 """
 
 import json
@@ -65,6 +72,46 @@ def bench_reference_equiv(values1, counts1, values2, counts2, sample=300):
     return n / dt
 
 
+def bench_annotate():
+    """Full Annotate pipeline throughput (reads resquiggled/s) on a
+    synthetic raw dataset; same workload as the former bench_annotate.py."""
+    import tempfile
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from fixtures import make_genome, make_raw_dataset
+    from nanomod_tpu.config import AnnotateConfig
+    from nanomod_tpu.io.fasta import FastaIndex
+    from nanomod_tpu.resquiggle import annotate_files
+    from nanomod_tpu.resquiggle.seed import SeedIndex
+
+    n_reads = int(os.environ.get("BENCH_READS", 128))
+    read_len = int(os.environ.get("BENCH_READ_LEN", 2000))
+
+    root = tempfile.mkdtemp()
+    chrom, genome = make_genome(length=read_len + 500, seed=1)
+    fasta_p = os.path.join(root, "ref.fa")
+    with open(fasta_p, "w") as f:
+        f.write(f">{chrom}\n{genome}\n")
+    reads_dir = os.path.join(root, "reads")
+    make_raw_dataset(reads_dir, chrom, genome, n_reads=n_reads, seed=2,
+                     read_len=read_len, error_rate=0.03)
+    paths = sorted(os.path.join(reads_dir, f) for f in os.listdir(reads_dir))
+
+    cfg = AnnotateConfig(wrk_base1=reads_dir, ref_fasta=fasta_p)
+    fasta = FastaIndex(fasta_p)
+    sidx = SeedIndex(fasta.seqs, k=cfg.seed_k)
+
+    annotate_files(paths, cfg, fasta, sidx)      # warmup/compile
+    t0 = time.time()
+    n_ok, _, _ = annotate_files(paths, cfg, fasta, sidx)
+    rate = n_ok / (time.time() - t0)
+    ref_rate = float(os.environ.get("NANOMOD_REF_ANNOTATE_RATE", 5.5))
+    return {"metric": "reads_resquiggled_per_sec", "value": round(rate, 1),
+            "unit": "reads/s", "vs_baseline": round(rate / ref_rate, 2)}
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -84,12 +131,15 @@ def main():
     ours = bench_ours(values1, counts1, values2, counts2, positions)
     ref = bench_reference_equiv(values1, counts1, values2, counts2)
 
-    print(json.dumps({
+    line = {
         "metric": "sites_tested_per_sec",
         "value": round(ours, 1),
         "unit": "sites/s",
         "vs_baseline": round(ours / ref, 2),
-    }))
+    }
+    if not os.environ.get("BENCH_SKIP_ANNOTATE"):
+        line["secondary"] = bench_annotate()
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

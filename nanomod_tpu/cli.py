@@ -105,18 +105,28 @@ def _sim_cfg(a, percentages=(0.3,), percentage=0.3) -> SimulateConfig:
         percentages=tuple(percentages), percentage=percentage,
         case_size=getattr(a, "CaseSize", None),
         run_type=getattr(a, "runType", 2),
+        foldersep=getattr(a, "foldersep", 3),
         min_coverage=a.MinCoverage,
         stats=_stat_cfg(a), rank=_rank_cfg(a),
     )
 
 
 def cmd_simulate(a):
-    from nanomod_tpu.harness.simulate import run_simulate, group_ranks
+    from nanomod_tpu.harness.simulate import (group_ranks,
+                                              merge_grid_outputs,
+                                              run_simulate,
+                                              run_simulate_grid)
     from nanomod_tpu.harness.plots import plot_rank_histogram
     percs = sorted(float(x) for x in a.Percentages.split(","))
     cfg = _sim_cfg(a, percentages=percs)
-    results = run_simulate(cfg)
-    grouped, labels = group_ranks(results)
+    if a.wrkBase3 is None:
+        # cluster/grid mode (ref mySimulate.py:344-467): subfolder-pair
+        # grid sharded across hosts instead of qsub fan-out
+        fids, _ = run_simulate_grid(cfg)
+        grouped, labels = merge_grid_outputs(cfg, fids)
+    else:
+        results = run_simulate(cfg)
+        grouped, labels = group_ranks(results)
     import os
     plot_rank_histogram(grouped, labels,
                         os.path.join(cfg.out_folder, f"hist_{cfg.file_id}.png"))
@@ -178,6 +188,7 @@ def cmd_annotate(a):
         threads=a.threads, files_per_thread=a.files_per_thread,
         basecall_1d=a.basecall_1d, basecall_2strand=a.basecall_2strand,
         recursive=bool(a.recursive), resume=bool(a.resume),
+        align=a.alignStr,
         metrics_file=a.metricsFile or None,
     )
     annotate_folder(cfg)
@@ -220,8 +231,13 @@ def build_parser():
     p = sub.add_parser("simulate", help="percentage-mixing simulation")
     _common(p)
     p.add_argument("--wrkBase2")
-    p.add_argument("--wrkBase3")
+    p.add_argument("--wrkBase3",
+                   help="second control folder (worker mode); omit to run "
+                        "the subfolder-pair grid over wrkBase1/wrkBase2")
     p.add_argument("--Percentages", type=str, default="0.3")
+    p.add_argument("--foldersep", type=int, default=3,
+                   help="control-test subfolder offset in grid mode "
+                        "(mk = (mi + foldersep) %% n_control_subfolders)")
     p.set_defaults(func=cmd_simulate)
 
     p = sub.add_parser("simulat2", help="case-size scaling simulation")

@@ -156,13 +156,17 @@ def plot_rank_histogram(grouped: Dict, labels: List[str], out_path: str,
 
 
 def plot_rank_histogram_grid(panels: Dict[str, tuple], out_path: str,
-                             ncols: int = 3, xlabel: str = "MixedPerc"):
+                             ncols: int = 3, xlabel: str = "MixedPerc",
+                             fmt: str = None, dpi: int = 300):
     """Faceted grid of stacked rank-percentile histograms, one panel per
     dataset/method — the Hist_sim_plot9.R / Hist_sim_plot27.R equivalents
     (9/27 facets over modification types × methods).
 
     `panels` maps panel title -> (grouped, labels) as returned by
-    harness.simulate.group_ranks / summarize_outputs."""
+    harness.simulate.group_ranks / summarize_outputs.  `fmt` overrides the
+    output format regardless of the path suffix — fmt="tiff" (or an
+    out_path ending in .tif/.tiff) is the Hist_sim_plot9tif.R equivalent
+    (ref Rscript/Hist_sim_plot9tif.R:1-29, a 300-dpi TIFF export)."""
     names = list(panels)
     n = len(names)
     ncols = min(ncols, max(n, 1))
@@ -200,6 +204,6 @@ def plot_rank_histogram_grid(panels: Dict[str, tuple], out_path: str,
                    loc="center left", bbox_to_anchor=(1.0, 0.5),
                    title="Rank percentile")
     fig.tight_layout()
-    fig.savefig(out_path, bbox_inches="tight")
+    fig.savefig(out_path, bbox_inches="tight", format=fmt, dpi=dpi)
     plt.close(fig)
     return out_path

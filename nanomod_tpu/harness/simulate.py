@@ -232,13 +232,117 @@ def _save_output(results: Dict, cfg: SimulateConfig, fmt_key: str):
     open(base + ".done", "w").close()
 
 
+def get_subfolders(base: str) -> Tuple[List[str], int]:
+    """Numbered-subfolder discovery (getSubFolders, ref mySimulate.py:74-99):
+    returns (names, max_int+...)  — the grid iterates range(max_int) like
+    the reference (note: the reference uses the MAXIMUM folder number as the
+    exclusive bound, so a missing intermediate number yields an empty
+    worker, exactly as its qsub fan-out did)."""
+    subs = []
+    mx = -1
+    for name in sorted(os.listdir(base)):
+        if not os.path.isdir(os.path.join(base, name)):
+            continue
+        try:
+            v = int(name)
+        except ValueError:
+            continue
+        subs.append(name)
+        mx = max(mx, v)
+    if mx == -1:
+        raise FileNotFoundError(f"no numbered subfolders under {base} "
+                                "(cluster/grid mode needs 0/ 1/ 2/ ...)")
+    return subs, mx
+
+
+def grid_file_id(cfg: SimulateConfig, mi: int, mj: int, mk: int,
+                 perc: float) -> str:
+    """Per-grid-point FileID, matching the reference's qsub job naming
+    (ref mySimulate.py:350: '%s_%d_%d_%d_%.5f')."""
+    return "%s_%d_%d_%d_%.5f" % (cfg.file_id, mi, mj, mk, perc)
+
+
+def run_simulate_grid(cfg: SimulateConfig,
+                      process_id: Optional[int] = None,
+                      process_count: Optional[int] = None):
+    """Cluster-mode percentage simulation (ref mySimulate.py:344-467): the
+    (control-subfolder mi × case-subfolder mj) grid with control-test
+    subfolder mk = (mi + foldersep) % max_control, one worker per
+    (mi, mj, percentage).
+
+    The reference fans this out as qsub jobs and polls qstat; here the
+    grid points are sharded round-robin across hosts
+    (parallel.dist.shard_list — jax.process_index by default, or the
+    explicit process_id/process_count for external launchers) and each
+    host sweeps its shard in-process.  Workers write the same per-point
+    `.output`/`.done` files, so the merge (merge_grid_outputs) is the
+    reference's file-level concatenation (ref :454-464).
+
+    Returns (all_file_ids, local_results) — every host returns the full
+    file-id list for merging; local_results holds only this host's shard.
+    """
+    from nanomod_tpu.parallel.dist import shard_list
+
+    _, max0 = get_subfolders(cfg.wrk_base1)
+    _, max1 = get_subfolders(cfg.wrk_base2)
+    grid = []
+    for mj in range(max1):
+        for mi in range(max0):
+            mk = (mi + cfg.foldersep) % max0
+            grid.append((mi, mj, mk))
+
+    all_fids = [grid_file_id(cfg, mi, mj, mk, perc)
+                for (mi, mj, mk) in grid for perc in sorted(cfg.percentages)]
+
+    local = shard_list(grid, process_id, process_count)
+    local_results = {}
+    for (mi, mj, mk) in local:
+        sub_common = replace(
+            cfg,
+            wrk_base1=os.path.join(cfg.wrk_base1, str(mi)),
+            wrk_base2=os.path.join(cfg.wrk_base2, str(mj)),
+            wrk_base3=os.path.join(cfg.wrk_base1, str(mk)),
+        )
+        case_reads = load_group_reads(sub_common.wrk_base2)
+        control_mix = load_group_reads(sub_common.wrk_base1)
+        control_test = load_group_reads(sub_common.wrk_base3)
+        for perc in sorted(cfg.percentages):
+            sub = replace(sub_common, percentages=(perc,),
+                          file_id=grid_file_id(cfg, mi, mj, mk, perc))
+            res = run_simulate(sub, case_reads=case_reads,
+                               control_mix=control_mix,
+                               control_test=control_test)
+            local_results[sub.file_id] = res
+    return all_fids, local_results
+
+
+def merge_grid_outputs(cfg: SimulateConfig, file_ids: List[str],
+                       seqsize: int = 6184 // 3):
+    """Merge per-grid-point `.output` files by percentage and bin the ranks
+    (the reference's post-qsub merge + group_rank, ref mySimulate.py:454-517).
+    Grid points whose `.done` sentinel is missing are skipped with a count,
+    like the reference's 3-strikes tolerance."""
+    done = [fid for fid in file_ids
+            if os.path.isfile(os.path.join(cfg.out_folder, fid + ".done"))]
+    missing = len(file_ids) - len(done)
+    if missing and cfg.out_level <= 2:
+        print(f"Warning: {missing}/{len(file_ids)} grid outputs missing")
+    return summarize_outputs(cfg.out_folder, done, seqsize=seqsize)
+
+
 def run_simulat2_sweep(cfg: SimulateConfig, case_sizes=None,
-                       start: int = 1000, step: int = 1000):
+                       start: int = 1000, step: int = 1000,
+                       process_id: Optional[int] = None,
+                       process_count: Optional[int] = None):
     """runType 1 (ref mySimulat2.py:223-256): sweep CaseSize from `start`
     by `step` up to the maximum supportable by the control pool at the
     given percentage.  The reference submits one qsub job per size; here
-    the sizes run in-process (shard `case_sizes` across hosts with
-    parallel.dist.shard_list for multi-host runs)."""
+    the sizes are sharded round-robin across hosts
+    (parallel.dist.shard_list) and each host sweeps its shard in-process;
+    runType 3 (summarize_outputs) merges the per-size `.output` files
+    exactly like the reference's post-qsub loop."""
+    from nanomod_tpu.parallel.dist import shard_list
+
     case_reads = load_group_reads(cfg.wrk_base2)
     control_reads = load_group_reads(cfg.wrk_base1)
     if case_sizes is None:
@@ -246,7 +350,7 @@ def run_simulat2_sweep(cfg: SimulateConfig, case_sizes=None,
         max_case = int(total_control * cfg.percentage / (2 - cfg.percentage))
         case_sizes = list(range(start, max(max_case, start + 1), step))
     results = {}
-    for cs in case_sizes:
+    for cs in shard_list(list(case_sizes), process_id, process_count):
         sub = replace(cfg, case_size=int(cs),
                       file_id=f"{cfg.file_id}_{cs}")
         results[int(cs)] = run_simulat2(sub, case_reads=case_reads,
@@ -256,14 +360,19 @@ def run_simulat2_sweep(cfg: SimulateConfig, case_sizes=None,
     return results
 
 
-def run_downsampling_sweep(cfg: SimulateConfig, case_sizes=None):
+def run_downsampling_sweep(cfg: SimulateConfig, case_sizes=None,
+                           process_id: Optional[int] = None,
+                           process_count: Optional[int] = None):
     """DownSampling runType 1 (ref myDownSampling0.py:180-188): the fixed
-    CaseSize ladder {60, 80, 100, 200, 400, 1000, 2000, 3000}."""
+    CaseSize ladder {60, 80, 100, 200, 400, 1000, 2000, 3000}, sharded
+    round-robin across hosts like run_simulat2_sweep."""
+    from nanomod_tpu.parallel.dist import shard_list
+
     case_sizes = case_sizes or [60, 80, 100, 200, 400, 1000, 2000, 3000]
     case_reads = load_group_reads(cfg.wrk_base1)
     control_reads = load_group_reads(cfg.wrk_base2)
     results = {}
-    for cs in case_sizes:
+    for cs in shard_list(list(case_sizes), process_id, process_count):
         sub = replace(cfg, case_size=int(cs), file_id=f"{cfg.file_id}_{cs}")
         results[int(cs)] = run_downsampling(sub, case_reads=case_reads,
                                             control_reads=control_reads)

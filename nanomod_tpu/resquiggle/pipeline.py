@@ -81,17 +81,9 @@ def prepare_read(path: str, cfg: AnnotateConfig, seed_index: SeedIndex,
         return None, "No Raw_reads/Signal"
     norm = mad_normalize(raw.raw_signal, span, shift_scale)
 
-    hit = seed_index.best_band(ev.seq)
-    if hit is None or hit.votes < 3:
-        return None, "Not in alignment sam"
-
-    from nanomod_tpu.io.fasta import revcomp
-    fwd_seq = ev.seq if hit.strand == "+" else revcomp(ev.seq)
-    return PreparedRead(
-        path=path, read_id=raw.read_id, fwd_seq=fwd_seq, chrom=hit.chrom,
-        strand=hit.strand, diag=hit.diag, events_start=ev.start,
-        events_length=ev.length, norm_signal=norm,
-    ), ""
+    return _seed_and_wrap(path, raw.read_id, ev.seq, ev.start, ev.length,
+                          norm, seed_index,
+                          require_seed=(cfg.align == "dp"))
 
 
 @dataclass
@@ -397,12 +389,23 @@ def annotate_one(read: PreparedRead, ops, win_start: int, fasta: FastaIndex,
 
 
 def _seed_and_wrap(path: str, read_id: str, seq: str, ev_start, ev_length,
-                   norm_signal, seed_index: SeedIndex):
+                   norm_signal, seed_index: SeedIndex,
+                   require_seed: bool = True):
     """Seed a prepared read and build the PreparedRead (shared by the
-    native and Python prepare paths)."""
+    native and Python prepare paths).
+
+    require_seed=False (external-aligner mode): an unseeded read is kept
+    with '+' orientation — the SAM record decides chrom/strand later
+    (resquiggle/external.py updates the PreparedRead in place)."""
     hit = seed_index.best_band(seq)
     if hit is None or hit.votes < 3:
-        return None, "Not in alignment sam"
+        if require_seed:
+            return None, "Not in alignment sam"
+        return PreparedRead(
+            path=path, read_id=read_id, fwd_seq=seq, chrom="", strand="+",
+            diag=0, events_start=ev_start, events_length=ev_length,
+            norm_signal=norm_signal,
+        ), ""
     from nanomod_tpu.io.fasta import revcomp
     fwd_seq = seq if hit.strand == "+" else revcomp(seq)
     return PreparedRead(
@@ -454,7 +457,8 @@ def prepare_batch(paths: List[str], cfg: AnnotateConfig,
                 else:
                     rd, err = _seed_and_wrap(
                         p, r.read_id, r.seq, r.ev_start, r.ev_length,
-                        r.norm_signal, seed_index)
+                        r.norm_signal, seed_index,
+                        require_seed=(cfg.align == "dp"))
                     if rd is None:
                         errors[err].append(p)
                     else:
@@ -530,14 +534,22 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
                 write_errors.append(r.path)
         return ok
 
-    # dp_inflight = in-flight DP sub-batches: dispatch k+1/k+2 while
-    # finishing k (the window bounds device memory; 2 is enough to hide the
-    # fetch latency behind the next DP)
-    dp_inflight = 2
-    with ThreadPoolExecutor(max_workers=workers) as ex, \
-            ThreadPoolExecutor(max_workers=1) as writer:
-        pending = []
+    def aligned_batches():
+        """Yield (reads, per-read (ops, win_start)) batches — from the
+        external aligner in one subprocess round, or from the bounded
+        banded-DP dispatch window."""
+        if cfg.align != "dp":
+            from nanomod_tpu.resquiggle.external import align_external
+            with stage("align_ext", unit="reads") as s:
+                results = align_external(prepared, cfg)
+                s.add(len(prepared))
+            yield prepared, results
+            return
+        # dp_inflight = in-flight DP sub-batches: dispatch k+1/k+2 while
+        # finishing k (the window bounds device memory; 2 is enough to
+        # hide the fetch latency behind the next DP)
         from collections import deque
+        dp_inflight = 2
         window = deque()
         next_i = 0
         while next_i < min(dp_inflight, len(dp_parts)):
@@ -553,6 +565,12 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
             with stage("traceback", unit="reads") as s:
                 results = finish_alignment(dpb, cfg)
                 s.add(len(dpb.reads))
+            yield dpb.reads, results
+
+    with ThreadPoolExecutor(max_workers=workers) as ex, \
+            ThreadPoolExecutor(max_workers=1) as writer:
+        pending = []
+        for batch_reads, results in aligned_batches():
 
             def one(args):
                 r, (ops, ws) = args
@@ -563,8 +581,8 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
             # the correction core (ctypes) and numpy release the GIL, so a
             # thread pool parallelizes annotate across reads
             with stage("annotate", unit="reads") as s:
-                annotated = list(ex.map(one, zip(dpb.reads, results)))
-                s.add(len(dpb.reads))
+                annotated = list(ex.map(one, zip(batch_reads, results)))
+                s.add(len(batch_reads))
             pending.append(writer.submit(write_many, annotated))
         with stage("write", unit="reads") as s:
             for fut in pending:

@@ -66,6 +66,122 @@ def test_simulate_zero_signal_rarely_ranks(sim_data):
     assert not all(r == 1 for r in res[0.9])
 
 
+@pytest.fixture(scope="module")
+def grid_data(tmp_path_factory):
+    """Numbered-subfolder layout for cluster/grid mode: ctrl/{0,1,2},
+    case/{0,1} (the reference's getSubFolders discovery,
+    ref mySimulate.py:74-99)."""
+    root = str(tmp_path_factory.mktemp("grid"))
+    chrom, genome = make_genome(length=260, seed=21)
+    ctrl = os.path.join(root, "ctrl")
+    case = os.path.join(root, "case")
+    for i, seed in enumerate((41, 42, 43)):
+        make_corrected_dataset(os.path.join(ctrl, str(i)), chrom, genome,
+                               n_reads=16, seed=seed, strands="-")
+    for j, seed in enumerate((51, 52)):
+        make_corrected_dataset(os.path.join(case, str(j)), chrom, genome,
+                               n_reads=16, seed=seed,
+                               mod_pos=MOD_POS, mod_delta=1.4, strands="-")
+    return root, chrom, ctrl, case
+
+
+def _grid_cfg(root, chrom, ctrl, case, out, **kw):
+    cfg = SimulateConfig(
+        wrk_base1=ctrl, wrk_base2=case,
+        out_folder=os.path.join(root, out),
+        target_chr=chrom, target_pos=MOD_POS, target_strand="-",
+        percentages=(0.9,), random_times=2, foldersep=1,
+        rank=RankConfig(window=2),
+    )
+    return replace(cfg, **kw) if kw else cfg
+
+
+def test_simulate_grid_single_process(grid_data):
+    """The (mi, mj, mk) grid covers range(max_int) pairs with
+    mk = (mi + foldersep) %% max0, reference job naming, and the merge
+    groups ranks by percentage."""
+    from nanomod_tpu.harness.simulate import (merge_grid_outputs,
+                                              run_simulate_grid)
+    root, chrom, ctrl, case = grid_data
+    cfg = _grid_cfg(root, chrom, ctrl, case, "out_grid")
+    fids, local = run_simulate_grid(cfg)
+    # max ints are 2 (ctrl: 0,1,2) and 1 (case: 0,1) -> exclusive bounds,
+    # reproducing the reference's range(subf_max_int) quirk
+    assert fids == ["mod_0_0_1_0.90000", "mod_1_0_0_0.90000"]
+    assert set(local) == set(fids)
+    for fid in fids:
+        assert os.path.isfile(os.path.join(cfg.out_folder, fid + ".output"))
+        assert os.path.isfile(os.path.join(cfg.out_folder, fid + ".done"))
+    grouped, labels = merge_grid_outputs(cfg, fids)
+    assert 0.9 in grouped
+    # 90% case mix: the planted site dominates
+    assert grouped[0.9][labels[0]] > 0.5
+
+
+def test_simulate_grid_two_processes(grid_data):
+    """Real multi-process run: two OS processes each execute their
+    round-robin shard of the grid (shared-nothing, like the reference's
+    qsub workers); the file-level merge must equal the single-process
+    result."""
+    import subprocess
+    import sys
+
+    from nanomod_tpu.harness.simulate import merge_grid_outputs
+
+    root, chrom, ctrl, case = grid_data
+    cfg = _grid_cfg(root, chrom, ctrl, case, "out_grid2")
+
+    driver = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from nanomod_tpu.config import SimulateConfig, RankConfig\n"
+        "from nanomod_tpu.harness.simulate import run_simulate_grid\n"
+        "cfg = SimulateConfig(wrk_base1=%r, wrk_base2=%r, out_folder=%r,\n"
+        "    target_chr=%r, target_pos=%d, target_strand='-',\n"
+        "    percentages=(0.9,), random_times=2, foldersep=1,\n"
+        "    rank=RankConfig(window=2))\n"
+        "run_simulate_grid(cfg, process_id=int(sys.argv[1]), "
+        "process_count=2)\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+         ctrl, case, cfg.out_folder, chrom, MOD_POS)
+
+    procs = [subprocess.Popen([sys.executable, "-c", driver, str(pid)])
+             for pid in range(2)]
+    for p in procs:
+        assert p.wait(timeout=500) == 0
+
+    fids = ["mod_0_0_1_0.90000", "mod_1_0_0_0.90000"]
+    grouped, labels = merge_grid_outputs(cfg, fids)
+    # same dataset + seeds as the single-process grid -> same merged bins
+    from nanomod_tpu.harness.simulate import run_simulate_grid
+    cfg1 = _grid_cfg(root, chrom, ctrl, case, "out_grid")
+    if not os.path.isdir(cfg1.out_folder):      # test-order independence
+        run_simulate_grid(cfg1)
+    grouped1, _ = merge_grid_outputs(cfg1, fids)
+    assert grouped == grouped1
+
+
+def test_simulat2_sweep_sharded(sim_data):
+    """CaseSize ladder shards round-robin across processes; the runType-3
+    merge over per-size .output files recovers the full sweep."""
+    from nanomod_tpu.harness.simulate import (run_simulat2_sweep,
+                                              summarize_outputs)
+    root, chrom, case, ctrl, case_reads, ctrl_reads = sim_data
+    cfg = _cfg(root, chrom, case, ctrl, percentage=0.9, random_times=1,
+               file_id="s2shard",
+               **{"out_folder": os.path.join(root, "out_s2")})
+    sizes = [8, 12, 16]
+    r0 = run_simulat2_sweep(cfg, case_sizes=sizes, process_id=0,
+                            process_count=2)
+    r1 = run_simulat2_sweep(cfg, case_sizes=sizes, process_id=1,
+                            process_count=2)
+    assert sorted(list(r0) + list(r1)) == sizes
+    fids = [f"s2shard_{cs}" for cs in sizes]
+    grouped, labels = summarize_outputs(cfg.out_folder, fids)
+    assert len(grouped) >= 1
+
+
 def test_simulat2_exact_sampling(sim_data):
     root, chrom, case, ctrl, case_reads, ctrl_reads = sim_data
     cfg = _cfg(root, chrom, case, ctrl, percentage=0.5, case_size=20,
@@ -108,6 +224,12 @@ def test_plot_rank_histogram_grid(tmp_path):
     panels = {name: (grouped, labels) for name in sorted(panels)}
     p = plot_rank_histogram_grid(panels, str(tmp_path / "grid.png"))
     assert os.path.getsize(p) > 1000
+    # TIFF export (Hist_sim_plot9tif.R equivalent)
+    t = plot_rank_histogram_grid(panels, str(tmp_path / "grid.tif"),
+                                 fmt="tiff", dpi=150)
+    with open(t, "rb") as f:
+        magic = f.read(4)
+    assert magic in (b"II*\x00", b"MM\x00*")   # little/big-endian TIFF
 
 
 def test_plot_top_sites_density_and_violin(tmp_path):
