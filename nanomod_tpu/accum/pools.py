@@ -122,52 +122,61 @@ class PoolBuilder:
             pos = np.concatenate([c[0] for c in chunks])
             val = np.concatenate([c[1] for c in chunks])
             cod = np.concatenate([c[2] for c in chunks])
-
-            # one vectorized pass: group by position via sort, then slot each
-            # observation at (rank within its position group)
-            order = np.argsort(pos, kind="stable")
-            pos_s, val_s, cod_s = pos[order], val[order], cod[order]
-            uniq, first_idx, counts = np.unique(
-                pos_s, return_index=True, return_counts=True
-            )
-            p_total = len(uniq)
-            cap = int(counts.max())
-            row = np.repeat(np.arange(p_total), counts)
-            slot = np.arange(len(pos_s)) - np.repeat(first_idx, counts)
-
-            if max_capacity > 0 and cap > max_capacity:
-                # deterministic per-observation priority; keep the
-                # max_capacity smallest priorities per position
-                rng = np.random.default_rng(
-                    zlib.crc32(f"{chrom}:{strand}".encode()))
-                prio = rng.random(len(pos_s))
-                # rank within each position group by priority
-                by_prio = np.lexsort((prio, row))
-                rank = np.empty(len(pos_s), np.int64)
-                rank[by_prio] = (np.arange(len(pos_s))
-                                 - np.repeat(first_idx, counts))
-                keep = rank < max_capacity
-                row, val_s, cod_s = row[keep], val_s[keep], cod_s[keep]
-                slot = rank[keep]
-                counts = np.minimum(counts, max_capacity)
-                cap = max_capacity
-
-            values = np.zeros((p_total, cap), dtype=np.float32)
-            values[row, slot] = val_s
-            # majority base per position
-            base_votes = np.zeros((p_total, 5), dtype=np.int32)
-            np.add.at(base_votes, (row, cod_s.astype(np.int64)), 1)
-            base = _CODE_TO_BASE[np.argmax(base_votes, axis=1)]
-
-            out[(chrom, strand)] = PositionPools(
-                chrom=chrom,
-                strand=strand,
-                positions=uniq,
-                values=values,
-                counts=counts.astype(np.int32),
-                base=base,
-            )
+            out[(chrom, strand)] = pack_observations(
+                chrom, strand, pos, val, cod, max_capacity=max_capacity)
         return out
+
+
+def pack_observations(chrom: str, strand: str, pos: np.ndarray,
+                      val: np.ndarray, cod: np.ndarray,
+                      max_capacity: int = 0) -> PositionPools:
+    """Pack flat (position, value, base-code) observations into one dense
+    PositionPools — one vectorized pass: group by position via a stable
+    sort, slot each observation at its rank within its position group.
+    Shared by PoolBuilder.finalize and the multi-host pool merge
+    (parallel/dist.py)."""
+    order = np.argsort(pos, kind="stable")
+    pos_s, val_s, cod_s = pos[order], val[order], cod[order]
+    uniq, first_idx, counts = np.unique(
+        pos_s, return_index=True, return_counts=True
+    )
+    p_total = len(uniq)
+    cap = int(counts.max(initial=1))
+    row = np.repeat(np.arange(p_total), counts)
+    slot = np.arange(len(pos_s)) - np.repeat(first_idx, counts)
+
+    if max_capacity > 0 and cap > max_capacity:
+        # deterministic per-observation priority; keep the
+        # max_capacity smallest priorities per position
+        rng = np.random.default_rng(
+            zlib.crc32(f"{chrom}:{strand}".encode()))
+        prio = rng.random(len(pos_s))
+        # rank within each position group by priority
+        by_prio = np.lexsort((prio, row))
+        rank = np.empty(len(pos_s), np.int64)
+        rank[by_prio] = (np.arange(len(pos_s))
+                         - np.repeat(first_idx, counts))
+        keep = rank < max_capacity
+        row, val_s, cod_s = row[keep], val_s[keep], cod_s[keep]
+        slot = rank[keep]
+        counts = np.minimum(counts, max_capacity)
+        cap = max_capacity
+
+    values = np.zeros((p_total, cap), dtype=np.float32)
+    values[row, slot] = val_s
+    # majority base per position
+    base_votes = np.zeros((p_total, 5), dtype=np.int32)
+    np.add.at(base_votes, (row, cod_s.astype(np.int64)), 1)
+    base = _CODE_TO_BASE[np.argmax(base_votes, axis=1)]
+
+    return PositionPools(
+        chrom=chrom,
+        strand=strand,
+        positions=uniq,
+        values=values,
+        counts=counts.astype(np.int32),
+        base=base,
+    )
 
 
 def join_pools(pools1: Dict, pools2: Dict):

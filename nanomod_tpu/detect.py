@@ -54,11 +54,14 @@ def _read_passes_filters(rd, cfg: DetectConfig,
     return True
 
 
-def ingest_group(folder: str, cfg: DetectConfig) -> Dict[Tuple[str, str], PositionPools]:
+def ingest_group(folder: str, cfg: DetectConfig,
+                 files=None) -> Dict[Tuple[str, str], PositionPools]:
     """Walk a group folder, read corrected events, build position pools.
 
     Mirrors ReadAllFast5/readsubfolder/mReadSignalBase
     (ref myDetect.py:33-127,547-633) with a thread pool for the HDF5 reads.
+    `files` overrides discovery (multi-host mode passes this host's shard,
+    parallel/dist.py:ingest_group_multihost).
     """
     start_end = None
     pos_filter = None
@@ -71,7 +74,8 @@ def ingest_group(folder: str, cfg: DetectConfig) -> Dict[Tuple[str, str], Positi
         pos_filter = None              # Pos2 mode filters reads only
 
     builder = PoolBuilder()
-    files = list(iter_fast5_files(folder))
+    if files is None:
+        files = list(iter_fast5_files(folder))
 
     with stage("ingest", unit="reads") as s:
         reads = None
@@ -243,8 +247,16 @@ def run_detect(cfg: DetectConfig):
     NANOMOD_PROFILE_DIR) wraps the run in a jax.profiler device trace."""
     observer().reset()
     with device_trace(cfg.profile_dir):
-        pools1 = ingest_group(cfg.wrk_base1, cfg)
-        pools2 = ingest_group(cfg.wrk_base2, cfg)
+        import jax
+        if jax.process_count() > 1:
+            # multi-host launch (jax.distributed): each process ingests its
+            # file shard, pools merge over DCN (parallel/dist.py)
+            from nanomod_tpu.parallel.dist import ingest_group_multihost
+            pools1 = ingest_group_multihost(cfg.wrk_base1, cfg)
+            pools2 = ingest_group_multihost(cfg.wrk_base2, cfg)
+        else:
+            pools1 = ingest_group(cfg.wrk_base1, cfg)
+            pools2 = ingest_group(cfg.wrk_base2, cfg)
         table, order = detect_from_pools(pools1, pools2, cfg)
         if cfg.save_test:
             save_sign_test(table, cfg)

@@ -52,89 +52,100 @@ def shard_list(items: Sequence, process_id: Optional[int] = None,
     return [x for i, x in enumerate(items) if i % pcount == pid]
 
 
-def merge_pools_across_hosts(pools: Dict):
+def _multihost_gather(x):
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(x, tiled=True)
+
+
+def merge_pools_across_hosts(pools: Dict, gather=None,
+                             process_count: Optional[int] = None,
+                             max_capacity: int = 0):
     """Merge per-host partial pools (accum.pools.PositionPools dicts) into
     identical full pools on every host.
 
-    Single-process: identity.  Multi-process: gathers each (chrom, strand)
-    pool's positions/counts/values via multihost allgather and re-packs the
-    union (positions may differ per host).
+    Single-process: identity.  Multi-process: the whole local pool set is
+    flattened into FOUR packed observation arrays (global-key id, position,
+    value, base code) + one key table, so the merge costs five allgathers
+    TOTAL over DCN regardless of key/position count, then re-packed with
+    the same vectorized grouping as PoolBuilder (pack_observations — same
+    majority-vote base, same capacity-cap subsampling).
+
+    `gather`/`process_count` are injectable for tests (a stub gather
+    concatenating per-host arrays exercises the full merge without a real
+    jax.distributed cluster — tests/test_parallel.py).
     """
-    if jax.process_count() == 1:
+    pc = jax.process_count() if process_count is None else process_count
+    if pc == 1:
         return pools
-    from jax.experimental import multihost_utils
-    from nanomod_tpu.accum.pools import PositionPools
+    gather = gather or _multihost_gather
+    from nanomod_tpu.accum.pools import _BASE_TO_CODE, pack_observations
 
-    # gather the per-host serialized pools (object trees are not supported;
-    # go through padded dense arrays keyed by a gathered key union)
+    # phase 1: agree on the global (chrom, strand) key table
     local_keys = sorted(pools)
-    all_keys = multihost_utils.process_allgather(
-        np.array([f"{c}\t{s}" for c, s in local_keys], dtype=object),
-        tiled=True)
-    keys = sorted({tuple(k.split("\t")) for k in all_keys.tolist()})
+    all_key_strs = gather(
+        np.array([f"{c}\t{s}" for c, s in local_keys], dtype=object))
+    keys = sorted({tuple(k.split("\t")) for k in all_key_strs.tolist()})
+    gid = {key: i for i, key in enumerate(keys)}
 
+    # phase 2: flatten local observations with global key ids
+    kid, opos, oval, obase = [], [], [], []
+    for key in local_keys:
+        pp = pools[key]
+        cnt = pp.counts
+        mask = np.arange(pp.values.shape[1])[None, :] < cnt[:, None]
+        opos.append(np.repeat(pp.positions, cnt))
+        oval.append(pp.values[mask])
+        codes = _BASE_TO_CODE[
+            np.frombuffer(pp.base.astype("S1").tobytes(), dtype=np.uint8)]
+        obase.append(np.repeat(codes, cnt))
+        kid.append(np.full(int(cnt.sum()), gid[key], np.int32))
+
+    def cat(parts, dtype):
+        return (np.concatenate(parts).astype(dtype) if parts
+                else np.empty(0, dtype))
+
+    g_kid = gather(cat(kid, np.int32))
+    g_pos = gather(cat(opos, np.int64))
+    g_val = gather(cat(oval, np.float32))
+    g_cod = gather(cat(obase, np.int8))
+
+    # phase 3: re-pack per key with PoolBuilder semantics
     merged = {}
     for key in keys:
-        pp = pools.get(key)
-        pos = pp.positions if pp else np.empty(0, np.int64)
-        cnt = pp.counts if pp else np.empty(0, np.int32)
-        val = pp.values if pp else np.empty((0, 1), np.float32)
-        base = pp.base if pp else np.empty(0, "<U1")
-
-        g_pos = multihost_utils.process_allgather(pos, tiled=True)
-        g_cnt = multihost_utils.process_allgather(cnt, tiled=True)
-        # flatten (position, slot) observations and rebuild with PoolBuilder
-        # semantics: group by position
-        obs_pos = np.repeat(pos, cnt)
-        mask = np.arange(val.shape[1])[None, :] < cnt[:, None]
-        obs_val = val[mask]
-        obs_base = np.repeat(base, cnt)
-        g_obs_pos = multihost_utils.process_allgather(obs_pos, tiled=True)
-        g_obs_val = multihost_utils.process_allgather(obs_val, tiled=True)
-        g_obs_base = multihost_utils.process_allgather(
-            obs_base.astype("S1"), tiled=True)
-
-        order = np.argsort(g_obs_pos, kind="stable")
-        p_s = g_obs_pos[order]
-        v_s = g_obs_val[order]
-        b_s = g_obs_base[order]
-        uniq, first_idx, counts = np.unique(p_s, return_index=True,
-                                            return_counts=True)
-        cap = int(counts.max()) if len(counts) else 1
-        row = np.repeat(np.arange(len(uniq)), counts)
-        slot = np.arange(len(p_s)) - np.repeat(first_idx, counts)
-        values = np.zeros((len(uniq), cap), np.float32)
-        values[row, slot] = v_s
-        base_out = np.empty(len(uniq), "<U1")
-        base_out[:] = b_s[first_idx].astype("<U1")
-        merged[key] = PositionPools(
-            chrom=key[0], strand=key[1], positions=uniq,
-            values=values, counts=counts.astype(np.int32), base=base_out)
+        sel = g_kid == gid[key]
+        if not sel.any():
+            continue
+        merged[key] = pack_observations(
+            key[0], key[1], g_pos[sel], g_val[sel], g_cod[sel],
+            max_capacity=max_capacity)
     return merged
 
 
-def distributed_ingest_detect(cfg):
-    """Host-sharded detect: each process ingests its file shard, pools merge
-    across hosts, then the standard detection path runs (identically on
-    every host)."""
-    from nanomod_tpu.detect import detect_from_pools, ingest_group
+def ingest_group_multihost(folder: str, cfg):
+    """Multi-host ingest of one group: each process reads its round-robin
+    file shard (the reference's per-job folder assignment analog), partial
+    pools merge across hosts over DCN.  Every host returns the identical
+    full pools."""
+    from nanomod_tpu.config import replace
+    from nanomod_tpu.detect import ingest_group
     from nanomod_tpu.io.fast5 import iter_fast5_files
 
-    def ingest_shard(folder):
-        from nanomod_tpu.accum.pools import PoolBuilder
-        from nanomod_tpu.detect import _read_passes_filters
-        from nanomod_tpu.io.fast5 import read_corrected_events
+    files = shard_list(sorted(iter_fast5_files(folder)))
+    # partial pools stay exact; the capacity cap applies once, at the merge
+    # (a cap-of-a-cap would not match the single-host subsample)
+    partial = ingest_group(folder, replace(cfg, pool_capacity=0),
+                           files=files)
+    return merge_pools_across_hosts(partial,
+                                    max_capacity=cfg.pool_capacity)
 
-        files = shard_list(list(iter_fast5_files(folder)))
-        builder = PoolBuilder()
-        for p in files:
-            rd = read_corrected_events(p)
-            if rd is None or not _read_passes_filters(rd, cfg, None):
-                continue
-            builder.add_read(rd.chrom, rd.strand, rd.start, rd.norm_mean,
-                             rd.base)
-        return builder.finalize()
 
-    pools1 = merge_pools_across_hosts(ingest_shard(cfg.wrk_base1))
-    pools2 = merge_pools_across_hosts(ingest_shard(cfg.wrk_base2))
+def distributed_ingest_detect(cfg):
+    """Host-sharded detect: each process ingests its file shard, pools
+    merge across hosts, then the standard detection path runs (identically
+    on every host).  run_detect routes here automatically when
+    jax.process_count() > 1."""
+    from nanomod_tpu.detect import detect_from_pools
+
+    pools1 = ingest_group_multihost(cfg.wrk_base1, cfg)
+    pools2 = ingest_group_multihost(cfg.wrk_base2, cfg)
     return detect_from_pools(pools1, pools2, cfg)

@@ -161,3 +161,88 @@ def test_merge_pools_single_host_identity():
                np.array([b"A", b"C"], "S1"))
     pools = b.finalize()
     assert merge_pools_across_hosts(pools) is pools
+
+
+def _reads_for_host(seed, chroms=("cA", "cB")):
+    """Reads with genome-consistent bases (real corrected reads carry the
+    reference base, so per-position bases agree across hosts; the merge's
+    count-weighted base vote is only exact under that invariant)."""
+    rng = np.random.default_rng(seed)
+    genome = np.random.default_rng(99).choice(
+        [b"A", b"C", b"G", b"T"], 64).astype("S1")
+    reads = []
+    for _ in range(12):
+        chrom = chroms[int(rng.integers(len(chroms)))]
+        strand = "+-"[int(rng.integers(2))]
+        start = int(rng.integers(0, 30))
+        n = int(rng.integers(5, 15))
+        vals = np.round(rng.normal(0, 1, n), 3).astype(np.float32)
+        gpos = (start + np.arange(n) if strand == "+"
+                else start + n - 1 - np.arange(n))
+        reads.append((chrom, strand, start, vals, genome[gpos]))
+    return reads
+
+
+def test_merge_pools_two_hosts_matches_single_host():
+    """The packed five-allgather merge must reconstruct exactly the pools a
+    single host would build from the union of reads (values as multisets
+    per position, counts, majority bases) — exercised with a stub gather
+    standing in for jax.distributed, covering the real merge code path."""
+    from nanomod_tpu.accum.pools import PoolBuilder
+    from nanomod_tpu.parallel.dist import merge_pools_across_hosts
+
+    reads_a = _reads_for_host(1)
+    reads_b = _reads_for_host(2, chroms=("cA", "cC"))  # asymmetric keys
+
+    def build(reads):
+        b = PoolBuilder()
+        for r in reads:
+            b.add_read(*r)
+        return b.finalize()
+
+    pools_a, pools_b = build(reads_a), build(reads_b)
+    want = build(reads_a + reads_b)
+
+    # stub gather choreography: the first gather of each host's merge is
+    # the key-table agreement — both stubs return the true union so the
+    # global key ids match, exactly as a real allgather would.  Host B's
+    # phase-2 arrays are recorded, then host A's gathers concatenate its
+    # own arrays with B's recorded counterparts.
+    union = np.array(sorted({f"{c}\t{s}" for c, s in
+                             set(pools_a) | set(pools_b)}), dtype=object)
+
+    def recording_gather(rec):
+        n = [0]
+
+        def g(x):
+            n[0] += 1
+            if n[0] == 1:
+                return union
+            rec.append(x)
+            return x
+        return g
+
+    b_rec = []
+    merge_pools_across_hosts(pools_b, gather=recording_gather(b_rec),
+                             process_count=2)
+    it = iter(b_rec)
+    n = [0]
+
+    def a_gather(x):
+        n[0] += 1
+        if n[0] == 1:
+            return union
+        return np.concatenate([x, next(it)])
+
+    got = merge_pools_across_hosts(pools_a, gather=a_gather,
+                                   process_count=2)
+
+    assert set(got) == set(want)
+    for key in want:
+        g, w = got[key], want[key]
+        np.testing.assert_array_equal(g.positions, w.positions)
+        np.testing.assert_array_equal(g.counts, w.counts)
+        np.testing.assert_array_equal(g.base, w.base)
+        for i in range(len(w.positions)):
+            assert sorted(g.values[i, :g.counts[i]].tolist()) == \
+                sorted(w.values[i, :w.counts[i]].tolist()), (key, i)
