@@ -137,9 +137,18 @@ def pack_observations(chrom: str, strand: str, pos: np.ndarray,
     (parallel/dist.py)."""
     order = np.argsort(pos, kind="stable")
     pos_s, val_s, cod_s = pos[order], val[order], cod[order]
-    uniq, first_idx, counts = np.unique(
-        pos_s, return_index=True, return_counts=True
-    )
+    # pos_s is sorted: run boundaries come from one diff pass (np.unique
+    # would sort AGAIN — at 100M+ observations that second radix sort is
+    # tens of seconds)
+    if len(pos_s):
+        first_idx = np.concatenate(
+            [[0], np.flatnonzero(np.diff(pos_s)) + 1])
+        uniq = pos_s[first_idx]
+        counts = np.diff(np.append(first_idx, len(pos_s)))
+    else:
+        first_idx = np.empty(0, np.int64)
+        uniq = pos_s
+        counts = np.empty(0, np.int64)
     p_total = len(uniq)
     cap = int(counts.max(initial=1))
     row = np.repeat(np.arange(p_total), counts)
@@ -164,9 +173,9 @@ def pack_observations(chrom: str, strand: str, pos: np.ndarray,
 
     values = np.zeros((p_total, cap), dtype=np.float32)
     values[row, slot] = val_s
-    # majority base per position
-    base_votes = np.zeros((p_total, 5), dtype=np.int32)
-    np.add.at(base_votes, (row, cod_s.astype(np.int64)), 1)
+    # majority base per position (bincount; np.add.at is ~10x slower)
+    base_votes = np.bincount(row * 5 + cod_s.astype(np.int64),
+                             minlength=p_total * 5).reshape(p_total, 5)
     base = _CODE_TO_BASE[np.argmax(base_votes, axis=1)]
 
     return PositionPools(

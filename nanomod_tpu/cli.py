@@ -280,6 +280,15 @@ def build_parser():
 
 
 def main(argv=None):
+    # persistent jit cache: repeated invocations (and the simulate grids)
+    # skip the 20-40s first-compile cost per kernel shape
+    import os
+    if not os.environ.get("NANOMOD_NO_JAX_CACHE"):
+        import jax
+        cache = os.environ.get(
+            "NANOMOD_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "nanomod_tpu_jax"))
+        jax.config.update("jax_compilation_cache_dir", cache)
     parser = build_parser()
     args = parser.parse_args(argv)
     args.func(args)

@@ -100,7 +100,10 @@ def ingest_group(folder: str, cfg: DetectConfig,
             s.add(1)
     if cfg.out_level <= OUTPUT_INFO:
         print(f"Number of files in {folder} is {len(files)}")
-    return builder.finalize(max_capacity=cfg.pool_capacity)
+    with stage("finalize_pools", unit="observations") as s:
+        pools = builder.finalize(max_capacity=cfg.pool_capacity)
+        s.add(sum(int(p.counts.sum()) for p in pools.values()))
+    return pools
 
 
 def detect_from_pools(
@@ -111,10 +114,13 @@ def detect_from_pools(
     Returns (table, order): `table` row order is (chrom, strand, pos) — the
     reference's sign_test order — and `order` are table indices by rank.
     """
-    pools1 = {k: v.filter_min_coverage(cfg.min_coverage) for k, v in pools1.items()}
-    pools2 = {k: v.filter_min_coverage(cfg.min_coverage) for k, v in pools2.items()}
-    pools1 = {k: v for k, v in pools1.items() if v.num_positions}
-    pools2 = {k: v for k, v in pools2.items() if v.num_positions}
+    with stage("coverage_filter", unit="positions") as s:
+        pools1 = {k: v.filter_min_coverage(cfg.min_coverage) for k, v in pools1.items()}
+        pools2 = {k: v.filter_min_coverage(cfg.min_coverage) for k, v in pools2.items()}
+        pools1 = {k: v for k, v in pools1.items() if v.num_positions}
+        pools2 = {k: v for k, v in pools2.items() if v.num_positions}
+        s.add(sum(v.num_positions for v in pools1.values())
+              + sum(v.num_positions for v in pools2.values()))
 
     mesh = None
     if cfg.n_devices and cfg.n_devices > 1:
@@ -206,34 +212,53 @@ def detect_from_pools(
 def save_sign_test(table: SignTable, cfg: DetectConfig) -> str:
     """Write <outFolder>/<FileID>_sign_test.txt in the reference's exact
     format (ref myDetect.py:522-545): chrom strand pos1 base cov1 cov2
-    stU pU stT pT stKS pKS [stComb pComb], positions 1-based."""
+    stU pU stT pT stKS pKS [stComb pComb], positions 1-based.
+
+    Rendering runs in the threaded C++ formatter (native/format_core.cpp,
+    ~10x the interpreted loop at 9M rows); the Python loop below is the
+    byte-identical fallback/spec (parity pinned by the golden fixtures and
+    tests/test_detect_e2e.py::test_native_formatter_parity).
+    """
     os.makedirs(cfg.out_folder, exist_ok=True)
     path = os.path.join(cfg.out_folder, f"{cfg.file_id}_sign_test.txt")
     r = table.res
     # neighborPvalues == 0 still emits the 4th column pair (the KS tuple is
     # appended verbatim, ref myDetect.py:413); only testMethod 'ks' omits it
     has_comb = (cfg.stats.test_method != "ks" and r.pcomb is not None)
-    with open(path, "w") as f:
-        for i in range(len(table)):
-            chrom, strand = table.chrom_strand(i)
-            line = "%s %s %d %s %d %d %.3f %.3E %.3f %.3E %.3f %.3E" % (
-                chrom, strand, table.positions[i] + 1, table.base[i],
-                table.cov1[i], table.cov2[i],
-                r.stu[i], r.pu[i], r.stt[i], r.pt[i], r.stks[i], r.pks[i],
-            )
-            if has_comb:
-                line += " %.3f %.3E" % (r.stcomb[i], r.pcomb[i])
-            f.write(line + "\n")
+
+    native_ok = False
+    if cfg.native_ingest:          # one knob gates all native host paths
+        from nanomod_tpu.native.format_bind import write_sign_test_native
+        native_ok = write_sign_test_native(table, path, has_comb,
+                                           nthreads=cfg.num_workers)
+    if not native_ok:
+        with open(path, "w") as f:
+            for i in range(len(table)):
+                chrom, strand = table.chrom_strand(i)
+                line = "%s %s %d %s %d %d %.3f %.3E %.3f %.3E %.3f %.3E" % (
+                    chrom, strand, table.positions[i] + 1, table.base[i],
+                    table.cov1[i], table.cov2[i],
+                    r.stu[i], r.pu[i], r.stt[i], r.pt[i], r.stks[i], r.pks[i],
+                )
+                if has_comb:
+                    line += " %.3f %.3E" % (r.stcomb[i], r.pcomb[i])
+                f.write(line + "\n")
 
     if cfg.mstd and r.mstd is not None:
         mpath = os.path.join(cfg.out_folder, f"{cfg.file_id}_meanstd.cvs")
-        with open(mpath, "w") as f:
-            for i in range(len(table)):
-                chrom, strand = table.chrom_strand(i)
-                f.write("%s %s %d %s %.3f %.3f %.3f %.3f\n" % (
-                    chrom, strand, table.positions[i], table.base[i],
-                    r.mstd[i, 0], r.mstd[i, 1], r.mstd[i, 2], r.mstd[i, 3],
-                ))
+        m_ok = False
+        if cfg.native_ingest:
+            from nanomod_tpu.native.format_bind import write_meanstd_native
+            m_ok = write_meanstd_native(table, mpath,
+                                        nthreads=cfg.num_workers)
+        if not m_ok:
+            with open(mpath, "w") as f:
+                for i in range(len(table)):
+                    chrom, strand = table.chrom_strand(i)
+                    f.write("%s %s %d %s %.3f %.3f %.3f %.3f\n" % (
+                        chrom, strand, table.positions[i], table.base[i],
+                        r.mstd[i, 0], r.mstd[i, 1], r.mstd[i, 2], r.mstd[i, 3],
+                    ))
     return path
 
 
@@ -259,7 +284,9 @@ def run_detect(cfg: DetectConfig):
             pools2 = ingest_group(cfg.wrk_base2, cfg)
         table, order = detect_from_pools(pools1, pools2, cfg)
         if cfg.save_test:
-            save_sign_test(table, cfg)
+            with stage("save", unit="positions") as s:
+                save_sign_test(table, cfg)
+                s.add(len(table))
         sites = top_sites(table, order, cfg.stats, cfg.rank, top_n=cfg.rank.top_n)
         if cfg.make_plots:
             from nanomod_tpu.harness.plots import plot_top_sites

@@ -22,6 +22,7 @@ _CACHE = {}
 _EXTRA_FLAGS = {
     "fast5_ingest": ["-lz", "-pthread"],
     "traceback": ["-pthread"],
+    "format_core": ["-pthread"],
 }
 
 

@@ -163,6 +163,7 @@ def sharded_join_battery(
     calls for a combination column.
     """
     p_total = len(counts1)
+    battery._check_i32_bounds(counts1, counts2)
     nsh = int(np.prod([mesh.shape[a] for a in _AXES]))
     shard_len = _round_up(max(_round_up(p_total, nsh) // nsh, 8), 8)
     p_pad = shard_len * nsh

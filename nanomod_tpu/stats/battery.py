@@ -50,6 +50,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _check_i32_bounds(counts1, counts2):
+    """The exact integer device components (KS numerator max|k*n2 - m*n1|,
+    tie sums) require n1*n2 < 2^31 and pooled width < ~1290 per position.
+    Real per-position coverage is orders of magnitude below this; a
+    pathological ultra-deep position must be capped, not silently wrong."""
+    c1 = int(counts1.max(initial=0))
+    c2 = int(counts2.max(initial=0))
+    if c1 * c2 >= 2 ** 31 or (c1 + c2) > 1290:
+        raise ValueError(
+            f"per-position coverage too deep for exact int32 statistics "
+            f"(max n1={c1}, n2={c2}); cap the pools with "
+            f"--pool_capacity <= 645")
+
+
 def _capacity_bucket(c: int) -> int:
     """Round a column capacity up to a power of two (min 8) so jit caches
     stay bounded."""
@@ -186,6 +200,7 @@ def run_battery(
     coverage cap (ref myDetect.py:339).
     """
     p_total = len(counts1)
+    _check_i32_bounds(counts1, counts2)
     out = {
         k: np.empty(p_total, dtype=np.float64)
         for k in ("stu", "pu", "stt", "pt", "stks", "pks")

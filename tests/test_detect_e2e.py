@@ -113,6 +113,61 @@ def test_mstd_output(dataset, tmp_path):
     assert abs(float(line[4])) < 5
 
 
+def test_native_formatter_parity(tmp_path):
+    """The threaded C++ results formatter must render byte-identically to
+    the Python %-format spec on adversarial values: NaN (both signs), inf,
+    negative zero, denormals, huge magnitudes, exponent >= 100, and exact
+    rounding-boundary decimals."""
+    from nanomod_tpu.native.build import native_available
+    from nanomod_tpu.rank.ranking import SignTable
+    from nanomod_tpu.stats.battery import TestResult
+    from nanomod_tpu.config import DetectConfig, StatConfig, replace
+
+    if not native_available("format_core"):
+        pytest.skip("no native toolchain")
+
+    tricky = np.array([
+        0.0, -0.0, np.nan, -np.nan, np.inf, -np.inf,
+        1e-310, -1e-310, 5e-324, 1.7976931348623157e308,
+        0.0005, -0.0005, 0.0015, 1234.56785, -1234.56775,
+        9.9995e-5, 1.00049999e2, 3.0724e-101, -2.5e-200, 7.77e250,
+    ])
+    n = len(tricky)
+    rng = np.random.default_rng(0)
+
+    def col(shift):
+        return np.roll(tricky, shift)
+
+    res = TestResult(stu=col(0), pu=np.abs(col(1)), stt=col(2),
+                     pt=np.abs(col(3)), stks=col(4), pks=np.abs(col(5)),
+                     stcomb=col(6), pcomb=np.abs(col(7)),
+                     mstd=np.stack([col(0), np.abs(col(1)),
+                                    col(2), np.abs(col(3))], axis=1))
+    table = SignTable(
+        keys=[("chrA", "+"), ("chrB", "-")],
+        group_ids=rng.integers(0, 2, n).astype(np.int64),
+        positions=rng.integers(0, 10**9, n).astype(np.int64),
+        base=rng.choice(list("ACGT"), n).astype("<U1"),
+        cov1=rng.integers(1, 10**6, n).astype(np.int32),
+        cov2=rng.integers(1, 10**6, n).astype(np.int32),
+        res=res)
+
+    cfg = DetectConfig(out_folder=str(tmp_path), file_id="nat", mstd=True,
+                       stats=StatConfig(test_method="stouffer"))
+    p_nat = save_sign_test(table, cfg)
+    nat = open(p_nat, "rb").read()
+    nat_m = open(os.path.join(str(tmp_path), "nat_meanstd.cvs"), "rb").read()
+
+    cfg_py = replace(cfg, native_ingest=False, file_id="py")
+    p_py = save_sign_test(table, cfg_py)
+    py = open(p_py, "rb").read()
+    py_m = open(os.path.join(str(tmp_path), "py_meanstd.cvs"), "rb").read()
+
+    assert nat == py
+    assert nat_m == py_m
+    assert b"NAN" in py and b"nan" in py     # the tricky values landed
+
+
 def test_pool_capacity_cap():
     """finalize(max_capacity=N) bounds the reservoir; shallow positions
     keep everything and deep positions keep a deterministic subsample."""

@@ -172,6 +172,15 @@ def test_degenerate_pools_defined_behavior():
     assert res.pu[1] == pytest.approx(m.pvalue / 2.0, rel=1e-6)
 
 
+def test_too_deep_pools_raise():
+    # exact int32 components bound the pooled width; ultra-deep positions
+    # must fail loudly with the pool_capacity remedy, not overflow silently
+    v = np.zeros((1, 700), np.float32)
+    c = np.array([700], np.int32)
+    with pytest.raises(ValueError, match="pool_capacity"):
+        run_battery(v, c, v, c)
+
+
 def test_capped_ks_invariant_to_tiling():
     # the subsample RNG is keyed per absolute row (fold_in), so the capped
     # KS results must not depend on tile_positions — the property that makes

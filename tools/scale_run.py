@@ -33,10 +33,10 @@ from nanomod_tpu.io.fast5 import (CORRECTED_EVENTS_DTYPE,  # noqa: E402
                                   write_corrected_events)
 
 GENOME_LEN = int(os.environ.get("SCALE_GENOME", 4_600_000))
-N_READS = int(os.environ.get("SCALE_READS", 25_000))
-READ_LEN = int(os.environ.get("SCALE_READ_LEN", 2_000))
+N_READS = int(os.environ.get("SCALE_READS", 35_000))
+READ_LEN = int(os.environ.get("SCALE_READ_LEN", 3_000))
 N_SITES = 20
-MOD_DELTA = 1.2
+MOD_DELTA = 1.5
 CHROM = "ecoli_syn"
 
 
@@ -57,9 +57,13 @@ def gen_group(folder, genome_arr, levels, rng, planted=None):
         gpos = np.arange(start, start + READ_LEN)
         means = levels[i % 2][gpos] + rng.normal(0.0, 0.3, READ_LEN)
         if planted is not None:
+            # bulky-adduct profile: full shift at the site, half at ±1
+            # (what the ±k neighbor combination exists to capture,
+            # ref myDetect.py:373-414)
             for tp in planted:
-                if start <= tp < start + READ_LEN:
-                    means[tp - start] += MOD_DELTA
+                for off, scale in ((-1, 0.5), (0, 1.0), (1, 0.5)):
+                    if start <= tp + off < start + READ_LEN:
+                        means[tp + off - start] += MOD_DELTA * scale
         ev = np.zeros(READ_LEN, CORRECTED_EVENTS_DTYPE)
         if strand == "-":
             ev["norm_mean"] = np.round(means[::-1], 3)
@@ -82,6 +86,10 @@ def gen_group(folder, genome_arr, levels, rng, planted=None):
 
 
 def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nanomod_scale"
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(0)
@@ -114,7 +122,6 @@ def main():
     t_detect = time.time() - t0
 
     top50 = {(s.chrom, s.pos) for s in sites[:50]}
-    found = sum((CHROM, p) for p in planted if (CHROM, p) in top50)
     found = sum(1 for p in planted if (CHROM, p) in top50)
     summary = {
         "genome_len": GENOME_LEN,
