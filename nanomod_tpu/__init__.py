@@ -19,6 +19,6 @@ sort/rank statistical kernels, genome-coordinate sharding over a device mesh
 (`shard_map` + XLA collectives), and Pallas kernels for the hot inner loops.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from nanomod_tpu.config import DetectConfig, AnnotateConfig, SimulateConfig  # noqa: F401

@@ -220,7 +220,7 @@ def build_parser():
                    help="shard the test battery + combination over an "
                         "n-device mesh (0 = single device); output is "
                         "byte-identical to the single-device run")
-    p.add_argument("--tile_positions", type=int, default=512,
+    p.add_argument("--tile_positions", type=int, default=16384,
                    help="positions per device stats tile")
     p.add_argument("--pool_capacity", type=int, default=0,
                    help="cap per-position signal reservoirs (deterministic "

@@ -105,7 +105,10 @@ class DetectConfig:
     # ('data','pos') mesh (parallel/sharded.py); byte-identical output to
     # the single-device path.  0/1 = single device.
     n_devices: int = 0
-    tile_positions: int = 512      # positions per stats tile
+    # positions per stats tile: large tiles amortize per-dispatch
+    # round-trip latency (dominant on tunneled links at genome scale);
+    # memory per tile is ~tile_positions * coverage * 4 bytes on device
+    tile_positions: int = 16384
     # cap on the per-position signal reservoir (0 = exact/unbounded, like
     # the reference's Python lists); >0 keeps a deterministic random
     # subsample per deeper position, bounding pool memory at [P, cap] (new)

@@ -64,8 +64,26 @@ def combine_neighbor_pvalues(group_ids, positions, pks, cfg: StatConfig):
     mat = neighbor_matrix(np.asarray(group_ids), np.asarray(positions),
                           np.asarray(pks, dtype=np.float64), cfg.neighbor_pvalues)
     if cfg.test_method == "fisher":
-        stat, p = special.fisher_combine(mat, axis=1)
+        combine = lambda m: special.fisher_combine(m, axis=1)
     else:
         w = special.stouffer_weights(cfg.neighbor_pvalues, cfg.weights_dif)
-        stat, p = special.stouffer_combine(mat, w, axis=1)
+        combine = lambda m: special.stouffer_combine(m, w, axis=1)
+
+    n = len(mat)
+    if n > 1_000_000:
+        # rows are independent and the scipy transforms (ndtri/chi2.sf)
+        # release the GIL: chunk across threads.  Bitwise identical to the
+        # single-pass result (pure per-row math).
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        nthreads = min(8, os.cpu_count() or 1)
+        bounds = np.linspace(0, n, nthreads + 1, dtype=np.int64)
+        with ThreadPoolExecutor(nthreads) as ex:
+            parts = list(ex.map(
+                lambda i: combine(mat[bounds[i]:bounds[i + 1]]),
+                range(nthreads)))
+        stat = np.concatenate([p[0] for p in parts])
+        p = np.concatenate([p[1] for p in parts])
+    else:
+        stat, p = combine(mat)
     return special.clamp_stat(stat), special.clamp_p(p)
