@@ -14,9 +14,11 @@ A from-scratch JAX/XLA/Pallas rebuild of the capabilities of WGLab/NanoMod
     mixes case/control reads and measures the rank of a known modified site
     (ref mySimulate.py, mySimulat2.py, myDownSampling0.py).
 
-Architecture is TPU-first: position-major dense signal pools, vmapped
-sort/rank statistical kernels, genome-coordinate sharding over a device mesh
-(`shard_map` + XLA collectives), and Pallas kernels for the hot inner loops.
+Architecture is TPU-first: position-major dense signal pools, fused
+sort/scan statistical kernels with exact integer components, genome-
+coordinate sharding over a device mesh (`shard_map` + ppermute halo
+exchange for the neighbor-combination stencil), and a banded-DP aligner
+with both lax.scan (default) and Pallas implementations.
 """
 
 __version__ = "0.2.0"

@@ -38,6 +38,11 @@ def make_mesh(n_devices: Optional[int] = None, data: int = 0) -> Mesh:
     `data` = size of the data axis (0 = auto: 2 if divisible, else 1)."""
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"--n_devices {n} but only {len(devices)} JAX device(s) "
+            f"available ({jax.default_backend()}); for CPU testing set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N")
     devices = devices[:n]
     if data == 0:
         data = 2 if n % 2 == 0 and n > 1 else 1
