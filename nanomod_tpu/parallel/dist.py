@@ -53,8 +53,49 @@ def shard_list(items: Sequence, process_id: Optional[int] = None,
 
 
 def _multihost_gather(x):
+    """Concatenate every process's (possibly different-length) array along
+    axis 0, over the real jax.distributed backend.
+
+    `process_allgather` requires identical shapes on all processes — with
+    ragged per-host inputs the Gloo CPU transport returns silently corrupt
+    data on some ranks and then aborts (observed: `op.preamble.length <=
+    op.nbytes` enforce failure).  So: allgather the local lengths first
+    (scalar, always same shape), pad axis 0 to the global max, allgather
+    tiled, then slice each host's true prefix back out."""
     from jax.experimental import multihost_utils
-    return multihost_utils.process_allgather(x, tiled=True)
+
+    x = np.asarray(x)
+    lens = np.asarray(multihost_utils.process_allgather(
+        np.asarray(x.shape[0], dtype=np.int64)))
+    m = int(lens.max(initial=0))
+    if m == 0:
+        return x
+    pad = np.zeros((m,) + x.shape[1:], dtype=x.dtype)
+    pad[: x.shape[0]] = x
+    g = np.asarray(multihost_utils.process_allgather(pad, tiled=True))
+    return np.concatenate(
+        [g[i * m: i * m + int(lens[i])] for i in range(len(lens))])
+
+
+def _encode_keys(keys, width: int) -> np.ndarray:
+    """(chrom, strand) tuples -> fixed-width uint8 rows (NUL padded).
+    Real allgather backends cannot ship object/string arrays (device_put
+    rejects them), so the key table crosses DCN as bytes."""
+    arr = np.zeros((len(keys), width), dtype=np.uint8)
+    for i, (c, s) in enumerate(keys):
+        b = f"{c}\t{s}".encode()
+        arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return arr
+
+
+def _decode_keys(rows: np.ndarray):
+    out = set()
+    for row in np.asarray(rows, dtype=np.uint8):
+        b = row.tobytes().rstrip(b"\x00")
+        if b:
+            c, s = b.decode().split("\t")
+            out.add((c, s))
+    return sorted(out)
 
 
 def merge_pools_across_hosts(pools: Dict, gather=None,
@@ -65,14 +106,17 @@ def merge_pools_across_hosts(pools: Dict, gather=None,
 
     Single-process: identity.  Multi-process: the whole local pool set is
     flattened into FOUR packed observation arrays (global-key id, position,
-    value, base code) + one key table, so the merge costs five allgathers
-    TOTAL over DCN regardless of key/position count, then re-packed with
-    the same vectorized grouping as PoolBuilder (pack_observations — same
-    majority-vote base, same capacity-cap subsampling).
+    value, base code) + one byte-encoded key table, so the merge costs a
+    constant seven allgathers over DCN regardless of key/position count
+    (each a length-prefix pair via the padded ragged gather), then
+    re-packed with the same vectorized grouping as PoolBuilder
+    (pack_observations — same majority-vote base, same capacity-cap
+    subsampling).
 
-    `gather`/`process_count` are injectable for tests (a stub gather
-    concatenating per-host arrays exercises the full merge without a real
-    jax.distributed cluster — tests/test_parallel.py).
+    `gather`/`process_count` are injectable for tests (a barrier-based
+    thread gather exercises the full merge without a real jax.distributed
+    cluster — tests/test_parallel.py); the real 2-process backend path is
+    covered by tests/test_multihost_real.py.
     """
     pc = jax.process_count() if process_count is None else process_count
     if pc == 1:
@@ -80,11 +124,14 @@ def merge_pools_across_hosts(pools: Dict, gather=None,
     gather = gather or _multihost_gather
     from nanomod_tpu.accum.pools import _BASE_TO_CODE, pack_observations
 
-    # phase 1: agree on the global (chrom, strand) key table
+    # phase 1: agree on the global (chrom, strand) key table.  Strings
+    # cross the wire as fixed-width uint8 rows; the width itself must be
+    # agreed first (it differs per host).
     local_keys = sorted(pools)
-    all_key_strs = gather(
-        np.array([f"{c}\t{s}" for c, s in local_keys], dtype=object))
-    keys = sorted({tuple(k.split("\t")) for k in all_key_strs.tolist()})
+    local_w = max((len(f"{c}\t{s}".encode()) for c, s in local_keys),
+                  default=0)
+    width = int(gather(np.array([local_w], dtype=np.int64)).max(initial=1))
+    keys = _decode_keys(gather(_encode_keys(local_keys, width)))
     gid = {key: i for i, key in enumerate(keys)}
 
     # phase 2: flatten local observations with global key ids
