@@ -66,7 +66,7 @@ def _multihost_gather(x):
 
     x = np.asarray(x)
     lens = np.asarray(multihost_utils.process_allgather(
-        np.asarray(x.shape[0], dtype=np.int64)))
+        np.asarray(x.shape[0], dtype=np.int32)))
     m = int(lens.max(initial=0))
     if m == 0:
         return x
@@ -93,7 +93,9 @@ def _decode_keys(rows: np.ndarray):
     for row in np.asarray(rows, dtype=np.uint8):
         b = row.tobytes().rstrip(b"\x00")
         if b:
-            c, s = b.decode().split("\t")
+            # strand is the single char after the LAST tab, so chrom names
+            # containing tabs (legal in some FASTA headers) round-trip
+            c, _, s = b.decode().rpartition("\t")
             out.add((c, s))
     return sorted(out)
 
@@ -106,17 +108,21 @@ def merge_pools_across_hosts(pools: Dict, gather=None,
 
     Single-process: identity.  Multi-process: the whole local pool set is
     flattened into FOUR packed observation arrays (global-key id, position,
-    value, base code) + one byte-encoded key table, so the merge costs a
-    constant seven allgathers over DCN regardless of key/position count
-    (each a length-prefix pair via the padded ragged gather), then
+    value, base code) + one byte-encoded key table + one width scalar, so
+    the merge costs a constant SIX gather() calls over DCN regardless of
+    key/position count (each expands to two backend collectives via the
+    ragged length-prefix protocol in _multihost_gather — 12 total), then
     re-packed with the same vectorized grouping as PoolBuilder
     (pack_observations — same majority-vote base, same capacity-cap
-    subsampling).
+    subsampling).  Positions/lengths travel as int32 (process_allgather
+    under default JAX config downcasts int64 silently, so the bound is
+    explicit: genomic coordinates < 2^31).
 
     `gather`/`process_count` are injectable for tests (a barrier-based
-    thread gather exercises the full merge without a real jax.distributed
-    cluster — tests/test_parallel.py); the real 2-process backend path is
-    covered by tests/test_multihost_real.py.
+    thread gather in tests/test_parallel.py runs every rank's merge
+    concurrently, covering the real merge code path without a cluster);
+    the real 2-process jax.distributed backend is covered by
+    tests/test_multihost_real.py.
     """
     pc = jax.process_count() if process_count is None else process_count
     if pc == 1:
@@ -130,7 +136,7 @@ def merge_pools_across_hosts(pools: Dict, gather=None,
     local_keys = sorted(pools)
     local_w = max((len(f"{c}\t{s}".encode()) for c, s in local_keys),
                   default=0)
-    width = int(gather(np.array([local_w], dtype=np.int64)).max(initial=1))
+    width = int(gather(np.array([local_w], dtype=np.int32)).max(initial=1))
     keys = _decode_keys(gather(_encode_keys(local_keys, width)))
     gid = {key: i for i, key in enumerate(keys)}
 
@@ -152,7 +158,8 @@ def merge_pools_across_hosts(pools: Dict, gather=None,
                 else np.empty(0, dtype))
 
     g_kid = gather(cat(kid, np.int32))
-    g_pos = gather(cat(opos, np.int64))
+    # int32 on the wire (see docstring), back to the pools' int64 dtype
+    g_pos = gather(cat(opos, np.int32)).astype(np.int64)
     g_val = gather(cat(oval, np.float32))
     g_cod = gather(cat(obase, np.int8))
 

@@ -183,60 +183,65 @@ def _reads_for_host(seed, chroms=("cA", "cB")):
     return reads
 
 
-def test_merge_pools_two_hosts_matches_single_host():
-    """The packed five-allgather merge must reconstruct exactly the pools a
-    single host would build from the union of reads (values as multisets
-    per position, counts, majority bases) — exercised with a stub gather
-    standing in for jax.distributed, covering the real merge code path."""
-    from nanomod_tpu.accum.pools import PoolBuilder
-    from nanomod_tpu.parallel.dist import merge_pools_across_hosts
+def make_thread_gather(n_hosts):
+    """Barrier-based allgather over threads: each call deposits this rank's
+    array, waits for every rank, and returns the rank-ordered concatenation
+    — semantically identical to process_allgather but protocol-agnostic, so
+    the merge wire format can change without breaking this test."""
+    import threading
 
-    reads_a = _reads_for_host(1)
-    reads_b = _reads_for_host(2, chroms=("cA", "cC"))  # asymmetric keys
+    barrier = threading.Barrier(n_hosts)
+    slots = [None] * n_hosts
 
-    def build(reads):
-        b = PoolBuilder()
-        for r in reads:
-            b.add_read(*r)
-        return b.finalize()
-
-    pools_a, pools_b = build(reads_a), build(reads_b)
-    want = build(reads_a + reads_b)
-
-    # stub gather choreography: the first gather of each host's merge is
-    # the key-table agreement — both stubs return the true union so the
-    # global key ids match, exactly as a real allgather would.  Host B's
-    # phase-2 arrays are recorded, then host A's gathers concatenate its
-    # own arrays with B's recorded counterparts.
-    union = np.array(sorted({f"{c}\t{s}" for c, s in
-                             set(pools_a) | set(pools_b)}), dtype=object)
-
-    def recording_gather(rec):
-        n = [0]
-
+    def gather_for(rank):
         def g(x):
-            n[0] += 1
-            if n[0] == 1:
-                return union
-            rec.append(x)
-            return x
+            slots[rank] = np.asarray(x)
+            barrier.wait()
+            out = np.concatenate([slots[i] for i in range(n_hosts)])
+            barrier.wait()  # all ranks read before the next round deposits
+            return out
         return g
+    return gather_for
 
-    b_rec = []
-    merge_pools_across_hosts(pools_b, gather=recording_gather(b_rec),
-                             process_count=2)
-    it = iter(b_rec)
-    n = [0]
 
-    def a_gather(x):
-        n[0] += 1
-        if n[0] == 1:
-            return union
-        return np.concatenate([x, next(it)])
+def run_threaded_merge(per_host_pools, merge_fn):
+    """Run merge_fn(pools, gather, rank) on one thread per host under a
+    barrier gather; returns each host's merged result (or raises the first
+    thread exception)."""
+    import threading
 
-    got = merge_pools_across_hosts(pools_a, gather=a_gather,
-                                   process_count=2)
+    n = len(per_host_pools)
+    gather_for = make_thread_gather(n)
+    results = [None] * n
+    errors = []
 
+    def worker(rank):
+        try:
+            results[rank] = merge_fn(per_host_pools[rank],
+                                     gather_for(rank), rank)
+        except BaseException as e:  # surface into the test
+            errors.append(e)
+            raise
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    if errors:
+        raise errors[0]
+    return results
+
+
+def _build_pools(reads):
+    from nanomod_tpu.accum.pools import PoolBuilder
+    b = PoolBuilder()
+    for r in reads:
+        b.add_read(*r)
+    return b.finalize()
+
+
+def assert_pools_equal(got, want):
     assert set(got) == set(want)
     for key in want:
         g, w = got[key], want[key]
@@ -246,3 +251,46 @@ def test_merge_pools_two_hosts_matches_single_host():
         for i in range(len(w.positions)):
             assert sorted(g.values[i, :g.counts[i]].tolist()) == \
                 sorted(w.values[i, :w.counts[i]].tolist()), (key, i)
+
+
+def test_merge_pools_two_hosts_matches_single_host():
+    """The packed-observation allgather merge must reconstruct exactly the
+    pools a single host would build from the union of reads (values as
+    multisets per position, counts, majority bases) — exercised with both
+    hosts' merges running concurrently under a barrier-based thread gather
+    standing in for jax.distributed, covering the real merge code path
+    symmetrically on every rank."""
+    from nanomod_tpu.parallel.dist import merge_pools_across_hosts
+
+    reads_a = _reads_for_host(1)
+    reads_b = _reads_for_host(2, chroms=("cA", "cC"))  # asymmetric keys
+
+    pools_a, pools_b = _build_pools(reads_a), _build_pools(reads_b)
+    want = _build_pools(reads_a + reads_b)
+
+    got_a, got_b = run_threaded_merge(
+        [pools_a, pools_b],
+        lambda pools, gather, rank: merge_pools_across_hosts(
+            pools, gather=gather, process_count=2))
+
+    assert_pools_equal(got_a, want)
+    assert_pools_equal(got_b, want)
+
+
+def test_merge_pools_three_hosts_one_empty():
+    """A host with zero reads (empty pool dict) must participate in the
+    collective without corrupting the union — the all-hosts-identical
+    invariant is what run_detect relies on downstream."""
+    from nanomod_tpu.parallel.dist import merge_pools_across_hosts
+
+    reads_a = _reads_for_host(3)
+    reads_b = _reads_for_host(4, chroms=("cA", "cD"))
+    pools = [_build_pools(reads_a), {}, _build_pools(reads_b)]
+    want = _build_pools(reads_a + reads_b)
+
+    results = run_threaded_merge(
+        pools,
+        lambda p, gather, rank: merge_pools_across_hosts(
+            p, gather=gather, process_count=3))
+    for got in results:
+        assert_pools_equal(got, want)
