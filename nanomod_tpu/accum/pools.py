@@ -131,11 +131,19 @@ def pack_observations(chrom: str, strand: str, pos: np.ndarray,
                       val: np.ndarray, cod: np.ndarray,
                       max_capacity: int = 0) -> PositionPools:
     """Pack flat (position, value, base-code) observations into one dense
-    PositionPools — one vectorized pass: group by position via a stable
-    sort, slot each observation at its rank within its position group.
-    Shared by PoolBuilder.finalize and the multi-host pool merge
-    (parallel/dist.py)."""
-    order = np.argsort(pos, kind="stable")
+    PositionPools — one vectorized pass: group by position via a sort, slot
+    each observation at its rank within its position group.  Shared by
+    PoolBuilder.finalize and the multi-host pool merge (parallel/dist.py).
+
+    Within each position, observations are stored in CANONICAL order
+    (sorted by value, then base code): the pool for a given observation
+    multiset is then identical no matter how reads were sharded across
+    hosts or ordered on disk, so every order-sensitive downstream consumer
+    — the capped repeated-subsample KS's index draws (stats/kernels.py) and
+    the max_capacity subsample below — produces byte-identical results on
+    1 host or N.  (The reference's file-listing order is OS-dependent to
+    begin with, ref myDetect.py:122; see DIVERGENCES.md.)"""
+    order = np.lexsort((cod, val, pos))
     pos_s, val_s, cod_s = pos[order], val[order], cod[order]
     # pos_s is sorted: run boundaries come from one diff pass (np.unique
     # would sort AGAIN — at 100M+ observations that second radix sort is

@@ -175,6 +175,45 @@ def merge_pools_across_hosts(pools: Dict, gather=None,
     return merged
 
 
+def merge_annotate_stats(n_ok: int, errors: Dict, hist: Dict,
+                         gather=None, process_count: Optional[int] = None):
+    """Merge per-host Annotate run statistics (ok count, error-taxonomy
+    path lists, resegment-window histogram) across processes so every host
+    reports the global totals — the analog of the reference parent polling
+    its workers' failed_Q/reseg_Q (ref myRefBaseSignalAnnotation.py:1473-1494).
+
+    Stats are tiny relative to the data, so they cross DCN as one
+    JSON-encoded byte blob per host via the ragged allgather."""
+    import json
+
+    pc = jax.process_count() if process_count is None else process_count
+    if pc == 1:
+        return n_ok, errors, hist
+    gather = gather or _multihost_gather
+    blob = json.dumps({
+        "n_ok": int(n_ok),
+        "errors": {k: list(v) for k, v in errors.items()},
+        "hist": {str(k): int(v) for k, v in hist.items()},
+    }).encode()
+    # ragged rows can't mix: ship (length, payload) as one uint8 row padded
+    # by the gather protocol itself (each host sends its own length first)
+    lens = gather(np.array([len(blob)], dtype=np.int32))
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    width = int(lens.max(initial=1))
+    row = np.zeros((1, width), dtype=np.uint8)
+    row[0, : len(blob)] = buf
+    rows = gather(row)
+    tot_ok, merged_err, merged_hist = 0, {}, {}
+    for i in range(rows.shape[0]):
+        d = json.loads(rows[i, : int(lens[i])].tobytes().decode())
+        tot_ok += d["n_ok"]
+        for k, v in d["errors"].items():
+            merged_err.setdefault(k, []).extend(v)
+        for k, v in d["hist"].items():
+            merged_hist[int(k)] = merged_hist.get(int(k), 0) + v
+    return tot_ok, merged_err, merged_hist
+
+
 def ingest_group_multihost(folder: str, cfg):
     """Multi-host ingest of one group: each process reads its round-robin
     file shard (the reference's per-job folder assignment analog), partial

@@ -617,14 +617,32 @@ def annotate_files(paths: List[str], cfg: AnnotateConfig,
 def annotate_folder(cfg: AnnotateConfig):
     """correctAndAnnotate_manager (ref :1429-1497): discover FAST5s and
     annotate them in batches, reporting throughput and the reference's
-    error-type histogram."""
+    error-type histogram.
+
+    Multi-host (jax.distributed): each process annotates its round-robin
+    shard of the file list — the TPU-native analog of the reference's
+    12-process node × SGE fan-out (ref myRefBaseSignalAnnotation.py:1452-1483,
+    mySimulate.py:356) — and the error/histogram report is merged across
+    processes so every host prints the global totals.  Annotation writes
+    in place into each host's own shard, so no cross-host file conflicts.
+    """
     import time
+
+    import jax
 
     from nanomod_tpu.utils.observe import observer
     observer().reset()     # per-run metrics, not cumulative across runs
     start = time.time()
     paths = list(iter_fast5_files(cfg.wrk_base1, recursive=cfg.recursive))
-    print(f"Total f5={len(paths)}")
+    n_global = len(paths)
+    pcount = jax.process_count()
+    if pcount > 1:
+        from nanomod_tpu.parallel.dist import shard_list
+        paths = shard_list(paths)
+        print(f"Total f5={n_global} "
+              f"(host {jax.process_index()}/{pcount}: {len(paths)})")
+    else:
+        print(f"Total f5={len(paths)}")
     if cfg.resume:
         # skip files that already carry NanomoCorrected_000 (the reference
         # always rewrites, ref myRefBaseSignalAnnotation.py:706-714; resume
@@ -669,6 +687,10 @@ def annotate_folder(cfg: AnnotateConfig):
                 print(f"{done}/{len(paths)} reads, "
                       f"{done / max(dt, 1e-9):.1f} reads/s")
     dt = time.time() - start
+    if pcount > 1:
+        from nanomod_tpu.parallel.dist import merge_annotate_stats
+        total_ok, all_errors, all_hist = merge_annotate_stats(
+            total_ok, all_errors, all_hist)
     if all_hist:
         # resegment-window success histogram (ref :1491-1494,
         # 'signalneighbor'; window 1 = whole-group mean/std fallback)

@@ -1,11 +1,15 @@
 """Worker for tests/test_multihost_real.py: one real jax.distributed
-process of an N-process CPU cluster running the full multi-host detect
-path (host-sharded ingest -> DCN pool merge -> battery -> sign_test).
+process of an N-process CPU cluster.
 
-Usage: python _multihost_worker.py <rank> <nprocs> <port> <root>
+Modes:
+  detect   — full multi-host detect (host-sharded ingest -> DCN pool merge
+             -> battery -> sign_test); parent asserts each rank's
+             out_r<rank>/mh_sign_test.txt byte-matches single-process.
+  annotate — host-sharded Annotate (each rank resquiggles its round-robin
+             file shard in place + merged stats report); parent asserts
+             the corrected FAST5 contents match the single-process run.
 
-The parent test asserts each rank's out_r<rank>/mh_sign_test.txt is
-byte-identical to the single-process run over the union of files.
+Usage: python _multihost_worker.py <mode> <rank> <nprocs> <port> <root>
 """
 
 import os
@@ -13,8 +17,9 @@ import sys
 
 
 def main():
-    rank, nprocs, port, root = (int(sys.argv[1]), int(sys.argv[2]),
-                                sys.argv[3], sys.argv[4])
+    mode, rank, nprocs, port, root = (sys.argv[1], int(sys.argv[2]),
+                                      int(sys.argv[3]), sys.argv[4],
+                                      sys.argv[5])
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
 
@@ -26,16 +31,30 @@ def main():
                                num_processes=nprocs, process_id=rank)
     assert jax.process_count() == nprocs
 
-    from nanomod_tpu.config import DetectConfig, RankConfig
-    from nanomod_tpu.detect import run_detect
+    if mode == "detect":
+        from nanomod_tpu.config import DetectConfig, RankConfig
+        from nanomod_tpu.detect import run_detect
 
-    cfg = DetectConfig(
-        wrk_base1=os.path.join(root, "control"),
-        wrk_base2=os.path.join(root, "case"),
-        out_folder=os.path.join(root, f"out_r{rank}"),
-        file_id="mh", min_lr=0, rank=RankConfig(window=4),
-    )
-    run_detect(cfg)
+        cfg = DetectConfig(
+            wrk_base1=os.path.join(root, "control"),
+            wrk_base2=os.path.join(root, "case"),
+            out_folder=os.path.join(root, f"out_r{rank}"),
+            file_id="mh", min_lr=0, rank=RankConfig(window=4),
+        )
+        run_detect(cfg)
+    elif mode == "annotate":
+        from nanomod_tpu.config import AnnotateConfig
+        from nanomod_tpu.resquiggle import annotate_folder
+
+        cfg = AnnotateConfig(
+            wrk_base1=os.path.join(root, "reads_multi"),
+            ref_fasta=os.path.join(root, "ref.fa"),
+        )
+        n_ok, errors = annotate_folder(cfg)
+        # every rank must report the MERGED global totals
+        print(f"MERGED_OK={n_ok}", flush=True)
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
     print(f"rank {rank}: done", flush=True)
 
 

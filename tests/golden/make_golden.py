@@ -252,8 +252,13 @@ def run_variant(reads1, reads2, *, test_method="stouffer", neighbor=NEIGHBOR_K,
         cov = coverages[0 if key[1] == "+" else 1]
         common = sorted(set(v1[key]) & set(v2[key]))
         for row_i, pos in enumerate(common):
-            a = np.asarray(v1[key][pos], np.float64)
-            b = np.asarray(v2[key][pos], np.float64)
+            # canonical per-position order (ascending values): the engine's
+            # pools store each position's reservoir sorted so results are
+            # invariant to file order / host sharding (accum/pools.py
+            # pack_observations); the capped-KS subsample draws index into
+            # that canonical order
+            a = np.sort(np.asarray(v1[key][pos], np.float64))
+            b = np.sort(np.asarray(v2[key][pos], np.float64))
             stu, pu = mwu_121(a, b)
             t = ss.ttest_ind(a, b, equal_var=False)
             if cov > 0 and (len(a) > cov or len(b) > cov):

@@ -294,3 +294,31 @@ def test_merge_pools_three_hosts_one_empty():
             p, gather=gather, process_count=3))
     for got in results:
         assert_pools_equal(got, want)
+
+
+def test_merge_annotate_stats_two_hosts():
+    """Annotate run stats (ok count, error path lists, resegment histogram)
+    merge to identical global totals on every rank."""
+    from nanomod_tpu.parallel.dist import merge_annotate_stats
+
+    per_host = [
+        (5, {"Not in alignment sam": ["a.fast5"], "X": ["b.fast5"]}, {4: 3}),
+        (7, {"Not in alignment sam": ["c.fast5"]}, {4: 1, 1: 2}),
+    ]
+    got = run_threaded_merge(
+        [None, None],
+        lambda _, gather, rank: merge_annotate_stats(
+            *per_host[rank], gather=gather, process_count=2))
+    for n_ok, errors, hist in got:
+        assert n_ok == 12
+        assert sorted(errors["Not in alignment sam"]) == ["a.fast5", "c.fast5"]
+        assert errors["X"] == ["b.fast5"]
+        assert hist == {4: 4, 1: 2}
+
+
+def test_merge_annotate_stats_single_host_identity():
+    from nanomod_tpu.parallel.dist import merge_annotate_stats
+
+    errs, hist = {"k": ["p"]}, {2: 1}
+    n, e, h = merge_annotate_stats(3, errs, hist, process_count=1)
+    assert (n, e, h) == (3, errs, hist)
