@@ -31,6 +31,17 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: uniform uint64 hash, vectorized (overflow
+    wraps, which is the intended mod-2^64 arithmetic)."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 _BASE_TO_CODE = np.full(256, 4, dtype=np.int8)
 for _i, _b in enumerate(b"ACGT"):
     _BASE_TO_CODE[_b] = _i
@@ -163,11 +174,18 @@ def pack_observations(chrom: str, strand: str, pos: np.ndarray,
     slot = np.arange(len(pos_s)) - np.repeat(first_idx, counts)
 
     if max_capacity > 0 and cap > max_capacity:
-        # deterministic per-observation priority; keep the
-        # max_capacity smallest priorities per position
-        rng = np.random.default_rng(
-            zlib.crc32(f"{chrom}:{strand}".encode()))
-        prio = rng.random(len(pos_s))
+        # deterministic per-observation priority, keyed LOCALLY by
+        # (chrom:strand, position, canonical slot) via a splitmix64 hash —
+        # NOT by array index — so the kept subsample at a position depends
+        # only on that position's observation multiset: capping a pool
+        # restricted to a position range (the multi-host sharded merge,
+        # parallel/shardmerge.py) keeps exactly the same observations the
+        # single-host full-key pack keeps.  Keep the max_capacity smallest
+        # priorities per position.  (slot occupies 20 bits: per-position
+        # depth beyond 2^20 is rejected upstream by the i32 battery bound.)
+        seed = np.uint64(zlib.crc32(f"{chrom}:{strand}".encode()))
+        prio = _mix64(_mix64(seed ^ pos_s.astype(np.uint64))
+                      ^ slot.astype(np.uint64))
         # rank within each position group by priority
         by_prio = np.lexsort((prio, row))
         rank = np.empty(len(pos_s), np.int64)

@@ -81,7 +81,7 @@ def cmd_detect(a):
         save_test=bool(a.SaveTest), plot_type=a.plotType, make_plots=True,
         metrics_file=a.metricsFile or None, profile_dir=a.profileDir or None,
         n_devices=a.n_devices, tile_positions=a.tile_positions,
-        pool_capacity=a.pool_capacity,
+        pool_capacity=a.pool_capacity, merge_mode=a.merge_mode,
     )
     if a.Pos:
         parts = a.Pos.split(":")
@@ -226,6 +226,12 @@ def build_parser():
                    help="cap per-position signal reservoirs (deterministic "
                         "subsample beyond the cap; 0 = keep everything). "
                         "Bounds pool memory at genome scale")
+    p.add_argument("--merge_mode", choices=("union", "sharded"),
+                   default="union",
+                   help="multi-host pool merge: 'union' allgathers all "
+                        "observations to every host; 'sharded' routes each "
+                        "observation once to its position-range owner "
+                        "(byte-identical output, DCN/RAM scale per host)")
     p.set_defaults(func=cmd_detect)
 
     p = sub.add_parser("simulate", help="percentage-mixing simulation")

@@ -113,6 +113,16 @@ class DetectConfig:
     # the reference's Python lists); >0 keeps a deterministic random
     # subsample per deeper position, bounding pool memory at [P, cap] (new)
     pool_capacity: int = 0
+    # multi-host pool merge strategy (only used when jax.process_count()>1):
+    # 'union'   — every observation allgathered to every host; each host
+    #             holds full pools and computes the full battery (simple,
+    #             exact; DCN bytes and RAM scale with hosts x data)
+    # 'sharded' — observations routed once to position-range owners via
+    #             all-to-all; each host tests only its range and writes its
+    #             output shard, rank 0 concatenates (parallel/shardmerge.py;
+    #             byte-identical output, DCN bytes ~ data, RAM ~ data/hosts;
+    #             region-rank mode and plots need 'union')
+    merge_mode: str = "union"
     dtype: str = "float32"         # on-device compute dtype
     num_workers: int = 8           # host-side ingest threads
     native_ingest: bool = True     # C++ FAST5 parser (h5py fallback if absent)

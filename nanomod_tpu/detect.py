@@ -107,12 +107,18 @@ def ingest_group(folder: str, cfg: DetectConfig,
 
 
 def detect_from_pools(
-    pools1: Dict, pools2: Dict, cfg: DetectConfig
+    pools1: Dict, pools2: Dict, cfg: DetectConfig,
+    row_offsets: Optional[Dict[Tuple[str, str], int]] = None,
 ) -> Tuple[SignTable, np.ndarray]:
     """Coverage-filter, test, combine and rank two groups of pools.
 
     Returns (table, order): `table` row order is (chrom, strand, pos) — the
     reference's sign_test order — and `order` are table indices by rank.
+
+    `row_offsets` maps (chrom, strand) -> the global join-row index of this
+    call's first joined row for that key; the multi-host sharded merge
+    (parallel/shardmerge.py) passes it so the capped-KS subsample RNG draws
+    match the whole-join run.  None = these pools ARE the whole join.
     """
     with stage("coverage_filter", unit="positions") as s:
         pools1 = {k: v.filter_min_coverage(cfg.min_coverage) for k, v in pools1.items()}
@@ -137,6 +143,7 @@ def detect_from_pools(
             bad = g1.base[i1] != g2.base[i2]
             if bad.any() and cfg.out_level <= OUTPUT_INFO:
                 print(f"Warning: {bad.sum()} base mismatches between groups at {key}")
+            off = row_offsets.get(key, 0) if row_offsets else 0
             if mesh is not None:
                 # position-sharded multi-chip path: battery + halo-exchanged
                 # neighbor combination per join (parallel/sharded.py)
@@ -144,12 +151,13 @@ def detect_from_pools(
                     mesh, g1.values[i1], g1.counts[i1],
                     g2.values[i2], g2.counts[i2], positions=common,
                     strand=key[1], cfg=cfg.stats, want_mstd=cfg.mstd,
+                    row_offset=off,
                 )
             else:
                 res = run_battery(
                     g1.values[i1], g1.counts[i1], g2.values[i2], g2.counts[i2],
                     strand=key[1], cfg=cfg.stats, tile_positions=cfg.tile_positions,
-                    want_mstd=cfg.mstd,
+                    want_mstd=cfg.mstd, row_offset=off,
                 )
             keys.append(key)
             parts.append((key, common, g2.base[i2], g1.counts[i1], g2.counts[i2], res))
@@ -271,8 +279,21 @@ def run_detect(cfg: DetectConfig):
     cfg.metrics_file dumps them as JSON and cfg.profile_dir (or
     NANOMOD_PROFILE_DIR) wraps the run in a jax.profiler device trace."""
     observer().reset()
+    if cfg.merge_mode not in ("union", "sharded"):
+        raise ValueError(f"bad merge_mode {cfg.merge_mode!r}")
     with device_trace(cfg.profile_dir):
         import jax
+        if jax.process_count() > 1 and cfg.merge_mode == "sharded":
+            # position-sharded multi-host path: observations routed once to
+            # range owners, per-range compute + output shard concatenation
+            # (parallel/shardmerge.py) — byte-identical to the union path
+            from nanomod_tpu.parallel.shardmerge import (
+                distributed_detect_sharded)
+            table, order, sites = distributed_detect_sharded(cfg)
+            report(cfg.out_level)
+            if cfg.metrics_file:
+                observer().to_json(cfg.metrics_file)
+            return table, order, sites
         if jax.process_count() > 1:
             # multi-host launch (jax.distributed): each process ingests its
             # file shard, pools merge over DCN (parallel/dist.py)

@@ -151,6 +151,7 @@ def sharded_join_battery(
     cfg: StatConfig = StatConfig(),
     want_mstd: bool = False,
     combine: bool = True,
+    row_offset: int = 0,
 ) -> battery.TestResult:
     """Full battery + neighbor combination for ONE (chrom, strand) join,
     position-sharded over `mesh`.
@@ -193,8 +194,11 @@ def sharded_join_battery(
     if cov > 0 and bool(((n1 > cov) | (n2 > cov)).any()):
         q_idx = int(cfg.downsampling * cfg.downsampling_quantile)
         # absolute row index within the join keys the subsample RNG —
-        # identical draws to the single-device tiling (kernels.capped_ks_d)
-        rowd = jax.device_put(np.arange(p_pad, dtype=np.int32), row)
+        # identical draws to the single-device tiling (kernels.capped_ks_d);
+        # row_offset shifts it when this call holds a mid-join row range
+        # (multi-host sharded merge, parallel/shardmerge.py)
+        rowd = jax.device_put(
+            np.arange(row_offset, row_offset + p_pad, dtype=np.int32), row)
         cap_dev = kernels.capped_ks_d(
             v1d, cn1d, v2d, cn2d, rowd,
             cov=cov, repeats=cfg.downsampling, quantile_idx=q_idx,

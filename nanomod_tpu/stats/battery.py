@@ -192,12 +192,17 @@ def run_battery(
     cfg: StatConfig = StatConfig(),
     tile_positions: int = 8192,
     want_mstd: bool = False,
+    row_offset: int = 0,
 ) -> TestResult:
     """Run the full KS + MWU + Welch-t battery for P positions.
 
     values* are [P, C*] float32 pools with valid prefix lengths counts* [P]
     int32 (padding content is ignored).  `strand` selects the per-strand
-    coverage cap (ref myDetect.py:339).
+    coverage cap (ref myDetect.py:339).  `row_offset` is added to the
+    capped-KS subsample RNG's row index: a caller holding rows [off, off+P)
+    of a larger join (the multi-host position-sharded merge,
+    parallel/shardmerge.py) draws the same subsamples the whole-join run
+    draws for those rows.
     """
     p_total = len(counts1)
     _check_i32_bounds(counts1, counts2)
@@ -250,8 +255,9 @@ def run_battery(
             q_idx = int(cfg.downsampling * cfg.downsampling_quantile)
             # row_index keys the subsample RNG per ABSOLUTE row so results
             # do not depend on tile_positions (or on position sharding)
-            row_index = jnp.asarray(
-                np.arange(lo, lo + len(cn1d), dtype=np.int32))
+            row_index = jnp.asarray(np.arange(
+                row_offset + lo, row_offset + lo + len(cn1d),
+                dtype=np.int32))
             cap_dev = kernels.capped_ks_d(
                 v1d, cn1d, v2d, cn2d, row_index,
                 cov=cov, repeats=cfg.downsampling, quantile_idx=q_idx,

@@ -42,6 +42,24 @@ def main():
             file_id="mh", min_lr=0, rank=RankConfig(window=4),
         )
         run_detect(cfg)
+    elif mode == "detect_sharded":
+        # position-sharded merge over the real backend: one all-to-all
+        # routes observations to range owners; ranks write output shards
+        # and rank 0 concatenates into out_sharded/mh_sign_test.txt
+        from nanomod_tpu.config import DetectConfig, RankConfig, StatConfig
+        from nanomod_tpu.detect import run_detect
+
+        cfg = DetectConfig(
+            wrk_base1=os.path.join(root, "control"),
+            wrk_base2=os.path.join(root, "case"),
+            out_folder=os.path.join(root, "out_sharded"),
+            file_id="mh", min_lr=0, rank=RankConfig(window=4),
+            stats=StatConfig(coverages=(12, 12), downsampling=10),
+            pool_capacity=16, merge_mode="sharded",
+        )
+        _, _, sites = run_detect(cfg)
+        print(f"TOP_SITE={sites[0].chrom}:{sites[0].strand}:{sites[0].pos}",
+              flush=True)
     elif mode == "annotate":
         from nanomod_tpu.config import AnnotateConfig
         from nanomod_tpu.resquiggle import annotate_folder

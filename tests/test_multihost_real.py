@@ -102,6 +102,38 @@ def test_two_process_detect_matches_single_process(dataset):
         assert got == want, f"rank {rank} sign_test differs from single-host"
 
 
+def test_two_process_sharded_detect_matches_single_process(dataset):
+    """merge_mode='sharded' over the real backend: observations route once
+    to range owners (jax all-to-all over Gloo), each rank computes/writes
+    its range, rank 0 concatenates — byte-identical to single-host."""
+    from nanomod_tpu.config import DetectConfig, RankConfig, StatConfig
+    from nanomod_tpu.detect import run_detect
+
+    root = dataset
+    cfg = DetectConfig(
+        wrk_base1=os.path.join(root, "control"),
+        wrk_base2=os.path.join(root, "case"),
+        out_folder=os.path.join(root, "out_single_capped"),
+        file_id="mh", min_lr=0, rank=RankConfig(window=4),
+        stats=StatConfig(coverages=(12, 12), downsampling=10),
+        pool_capacity=16,
+    )
+    _, _, sites = run_detect(cfg)
+    with open(os.path.join(root, "out_single_capped",
+                           "mh_sign_test.txt"), "rb") as f:
+        want = f.read()
+    assert len(want) > 1000
+
+    outs = _run_cluster("detect_sharded", root)
+    top = f"TOP_SITE={sites[0].chrom}:{sites[0].strand}:{sites[0].pos}"
+    for rank, out in enumerate(outs):
+        assert top in out, f"rank {rank} global top site differs:\n{out}"
+
+    with open(os.path.join(root, "out_sharded", "mh_sign_test.txt"),
+              "rb") as f:
+        assert f.read() == want
+
+
 def test_two_process_annotate_matches_single_process(tmp_path):
     from nanomod_tpu.config import AnnotateConfig
     from nanomod_tpu.io.fast5 import read_corrected_events
