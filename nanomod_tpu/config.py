@@ -167,9 +167,12 @@ class AnnotateConfig:
     # use the Pallas DP kernel on accelerator backends (falls back to the
     # lax.scan implementation on CPU)
     use_pallas_dp: bool = True
-    # reads per banded-DP dispatch: sub-batching lets the D2H fetch of one
-    # sub-batch overlap the device DP of the next (new)
-    dp_batch_size: int = 128
+    # reads per banded-DP dispatch.  Each dispatch pays a FIXED device cost
+    # (the row scan + traceback walk are sequential in read length, and a
+    # tunneled link adds ~50 ms of fetch round trip), so bigger batches
+    # amortize it; sub-batching below the chunk size still lets the host
+    # correction of batch k overlap the device DP of batch k+1 (new)
+    dp_batch_size: int = 256
     # walk the DP traceback on device (lax.scan over all reads in lockstep)
     # so only per-step op codes cross the device->host link instead of the
     # [M, W] traceback matrix (new)
@@ -178,6 +181,11 @@ class AnnotateConfig:
     # after an interrupted run (new; the reference always rewrites,
     # ref myRefBaseSignalAnnotation.py:706-714)
     resume: bool = False
+    # corrected-dataset storage: 'gzip' matches the reference's files
+    # (ref myRefBaseSignalAnnotation.py:739-742; the deflate runs on worker
+    # threads, outside the h5py lock); 'none' trades ~2x file size for the
+    # fastest possible write-back
+    fast5_compression: str = "gzip"
     # write per-stage timing/throughput counters as JSON (new)
     metrics_file: Optional[str] = None
 

@@ -110,6 +110,41 @@ def has_corrected_group(path: str) -> bool:
         return False
 
 
+def compress_corrected_arrays(events: np.ndarray,
+                              read_alignment: np.ndarray,
+                              genome_alignment: np.ndarray,
+                              level: int = 1):
+    """zlib-compress the three corrected datasets for write_corrected_events.
+
+    HDF5's gzip filter is raw zlib, so the deflate can run OUTSIDE the h5py
+    global lock (zlib releases the GIL): pipeline worker threads compress
+    while the single writer thread only performs the cheap metadata +
+    pre-compressed-chunk writes.  Returns the ``precompressed`` argument for
+    write_corrected_events: {name: (contiguous array, zlib blob)}."""
+    import zlib
+
+    out = {}
+    for name, arr in ((READ_ALIGNMENT, read_alignment),
+                      (GENOME_ALIGNMENT, genome_alignment),
+                      (EVENTS, events.astype(CORRECTED_EVENTS_DTYPE,
+                                             copy=False))):
+        a = np.ascontiguousarray(arr)
+        out[name] = (a, zlib.compress(a.tobytes(), level) if a.size else b"")
+    return out
+
+
+def _write_dataset(parent, name, arr, blob, compression):
+    """One corrected dataset: pre-compressed direct-chunk write when a blob
+    is available, plain (uncompressed) storage otherwise."""
+    if blob and compression == "gzip":
+        ds = parent.create_dataset(name, shape=arr.shape, dtype=arr.dtype,
+                                   chunks=arr.shape, compression="gzip",
+                                   compression_opts=1)
+        ds.id.write_direct_chunk((0,), blob, filter_mask=0)
+    else:
+        parent.create_dataset(name, data=arr)
+
+
 def write_corrected_events(
     path: str,
     chrom: str,
@@ -125,11 +160,26 @@ def write_corrected_events(
     num_matches: int = 0,
     num_mismatches: int = 0,
     basecall_group: str = "Basecall_1D_000",
+    compression: str = "gzip",     # 'gzip' (ref parity) | 'none'
+    precompressed: Optional[dict] = None,
 ):
     """Write (replacing any stale copy) the corrected annotation into a FAST5.
 
     Idempotent-replace semantics and attr set mirror save_annotation
-    (ref myRefBaseSignalAnnotation.py:689-742)."""
+    (ref myRefBaseSignalAnnotation.py:689-742).  The datasets are gzip'd
+    like the reference's; pass ``precompressed`` (from
+    compress_corrected_arrays, typically built on a worker thread) to keep
+    the deflate out of the serialized h5py section — the HDF5 library is
+    single-threaded behind a global lock, so whatever runs under it bounds
+    whole-process write throughput."""
+    if precompressed is None:
+        precompressed = (compress_corrected_arrays(
+            events, read_alignment, genome_alignment)
+            if compression == "gzip" else
+            {READ_ALIGNMENT: (np.ascontiguousarray(read_alignment), b""),
+             GENOME_ALIGNMENT: (np.ascontiguousarray(genome_alignment), b""),
+             EVENTS: (np.ascontiguousarray(
+                 events.astype(CORRECTED_EVENTS_DTYPE, copy=False)), b"")})
     with h5py.File(path, "r+") as f:
         base_group = f.require_group(ANALYSES)
         if CORRECTED_GROUP in base_group:
@@ -147,10 +197,11 @@ def write_corrected_events(
         al.attrs["num_matches"] = num_matches
         al.attrs["num_mismatches"] = num_mismatches
         al.attrs["Bcinfo"] = basecall_group
-        al.create_dataset(READ_ALIGNMENT, data=read_alignment, compression="gzip", compression_opts=1)
-        al.create_dataset(GENOME_ALIGNMENT, data=genome_alignment, compression="gzip", compression_opts=1)
-        bc.create_dataset(EVENTS, data=events.astype(CORRECTED_EVENTS_DTYPE),
-                          compression="gzip", compression_opts=1)
+        _write_dataset(al, READ_ALIGNMENT, *precompressed[READ_ALIGNMENT],
+                       compression)
+        _write_dataset(al, GENOME_ALIGNMENT, *precompressed[GENOME_ALIGNMENT],
+                       compression)
+        _write_dataset(bc, EVENTS, *precompressed[EVENTS], compression)
 
 
 def iter_fast5_files(base: str, recursive: bool = True,

@@ -143,6 +143,32 @@ def pack_tb(tb):
     return tb[..., 0::2] | (tb[..., 1::2] << 4)
 
 
+@jax.jit
+def pack_outputs(tb, best, best_i, best_k):
+    """Flatten + concatenate ALL DP outputs into one uint8 array
+    [B, 12 + prod(tb.shape[1:])] so the device→host transfer is a single
+    round trip — on a tunneled chip each fetch pays ~25-130 ms of link
+    latency, so four separate fetches (tb/best/best_i/best_k) cost ~4x a
+    packed one.  Row layout: best(i32) | best_i(i32) | best_k(i32) | tb
+    bytes.  best is stored as int32 (scores are integer-valued: integral
+    match/mismatch/gap costs)."""
+    bsz = tb.shape[0]
+    extra = jnp.stack(
+        [best.astype(jnp.int32), best_i.astype(jnp.int32),
+         best_k.astype(jnp.int32)], axis=1)
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(extra, jnp.uint8).reshape(bsz, 12),
+         tb.reshape(bsz, -1)], axis=1)
+
+
+def unpack_outputs(fetched: np.ndarray, tail_shape):
+    """Host-side inverse of pack_outputs: returns (tb, best, best_i,
+    best_k) numpy views; tail_shape is tb.shape[1:]."""
+    extra = np.ascontiguousarray(fetched[:, :12]).view(np.int32)
+    tb = fetched[:, 12:].reshape((fetched.shape[0],) + tuple(tail_shape))
+    return tb, extra[:, 0], extra[:, 1], extra[:, 2]
+
+
 @partial(jax.jit, static_argnames=("match", "mismatch", "go", "ge"))
 def banded_sw_packed(read_codes, ref_window_codes, read_len, *,
                      match=2, mismatch=-3, go=-5, ge=-2):

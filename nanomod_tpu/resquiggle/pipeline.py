@@ -20,8 +20,10 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from nanomod_tpu.config import AnnotateConfig
-from nanomod_tpu.io.fast5 import (CORRECTED_EVENTS_DTYPE, iter_fast5_files,
-                                  read_raw_basecall, write_corrected_events)
+from nanomod_tpu.io.fast5 import (CORRECTED_EVENTS_DTYPE,
+                                  compress_corrected_arrays,
+                                  iter_fast5_files, read_raw_basecall,
+                                  write_corrected_events)
 from nanomod_tpu.io.fasta import FastaIndex, complement
 from nanomod_tpu.resquiggle import annotate as ann_mod
 from nanomod_tpu.resquiggle.annotate import Columns, GenomeEvents
@@ -101,12 +103,12 @@ class DPBatch:
     """An in-flight banded-DP batch (device arrays not yet fetched)."""
 
     reads: List[PreparedRead]
-    tb: object                 # mode 'plain': [B, M, W] traceback matrix;
-                               # 'packed': nibble-packed [B, M, W//2];
-                               # 'codes': device-walk op codes [B, 2M+W]
-    best: object
-    best_i: object
-    best_k: object
+    packed: object             # [B, 12 + .] uint8: best|best_i|best_k|tb
+                               # (banded.pack_outputs); the tb payload is
+                               # mode 'plain': [M, W] traceback rows,
+                               # 'packed': nibble-packed [M, W//2],
+                               # 'codes': device-walk op codes [2M+W]
+    tail_shape: tuple          # tb payload shape per read
     lens: np.ndarray
     win_starts: np.ndarray
     mode: str
@@ -172,7 +174,17 @@ def dispatch_dp(reads: List[PreparedRead], fasta: FastaIndex,
             from nanomod_tpu.resquiggle.banded import pack_tb
             tb = pack_tb(tb)
             mode = "packed"
-    return DPBatch(reads, tb, best, bi, bk, lens, win_starts, mode)
+    # one fetchable array + an async D2H start: the host copy streams
+    # while the host works on earlier batches, and finish_alignment's
+    # np.asarray pays zero or one link round trip instead of four
+    from nanomod_tpu.resquiggle.banded import pack_outputs
+    tail_shape = tuple(tb.shape[1:])
+    packed = pack_outputs(tb, best, bi, bk)
+    try:
+        packed.copy_to_host_async()
+    except AttributeError:      # non-Array backends / tracers
+        pass
+    return DPBatch(reads, packed, tail_shape, lens, win_starts, mode)
 
 
 def finish_alignment(batch: DPBatch, cfg: AnnotateConfig):
@@ -184,16 +196,15 @@ def finish_alignment(batch: DPBatch, cfg: AnnotateConfig):
     from nanomod_tpu.resquiggle.banded import (decode_walk,
                                                decode_walk_native,
                                                ops_to_arrays,
-                                               traceback_batch_native)
-    tb = np.asarray(batch.tb)
-    best = np.asarray(batch.best)
-    bi = np.asarray(batch.best_i)
-    bk = np.asarray(batch.best_k)
+                                               traceback_batch_native,
+                                               unpack_outputs)
+    tb, best, bi, bk = unpack_outputs(np.asarray(batch.packed),
+                                      batch.tail_shape)
     reads, lens, win_starts = batch.reads, batch.lens, batch.win_starts
 
     n = len(reads)
     ops_all = None
-    nthreads = min(8, max(1, cfg.threads))
+    nthreads = _host_workers(cfg, cap=8)
     if batch.mode == "codes":
         if cfg.use_native:
             ops_all = decode_walk_native(tb[:n], bi[:n], bk[:n],
@@ -442,7 +453,7 @@ def prepare_batch(paths: List[str], cfg: AnnotateConfig,
     from nanomod_tpu.utils.observe import stage
     errors = defaultdict(list)
     prepared = []
-    workers = max(1, min(cfg.threads, 16))
+    workers = _host_workers(cfg)
     n_total = len(paths)
 
     native_res = None
@@ -451,9 +462,11 @@ def prepare_batch(paths: List[str], cfg: AnnotateConfig,
                                                      native_prepare_batch)
         tables = model_tables(kmer_model)
         if kmer_model is None or tables is not None:
+            # pure C++ threads (no GIL): honor the requested count even
+            # past the core clamp — the OS schedules them fine
             native_res = native_prepare_batch(
                 paths, cfg.basecall_1d, cfg.basecall_2strand,
-                nthreads=workers, kmer_tables=tables)
+                nthreads=max(1, min(cfg.threads, 16)), kmer_tables=tables)
 
     with stage("prepare", unit="reads") as s:
         del n_total  # stage counts successfully prepared reads, not files
@@ -526,7 +539,7 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
     n_ok = 0
     write_errors: List[str] = []
     signal_hist: Dict[int, int] = defaultdict(int)
-    workers = max(1, min(cfg.threads, 16))
+    workers = _host_workers(cfg)
 
     def write_many(annotated):
         ok = 0
@@ -536,9 +549,12 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
                 continue
             for wnd, cnt in payload.pop("signal_hist", {}).items():
                 signal_hist[wnd] += cnt
+            pre = payload.pop("_precompressed", None)
             try:
                 write_corrected_events(r.path, **payload,
-                                       basecall_group=cfg.basecall_1d)
+                                       basecall_group=cfg.basecall_1d,
+                                       compression=cfg.fast5_compression,
+                                       precompressed=pre)
                 ok += 1
             except OSError:
                 write_errors.append(r.path)
@@ -587,13 +603,27 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
                 if ops is None:
                     return r, None, "Not in alignment sam"
                 payload, err = annotate_one(r, ops, ws, fasta, cfg)
+                if payload is not None and cfg.fast5_compression == "gzip":
+                    # deflate here (zlib releases the GIL) so the single
+                    # writer thread only does the serialized h5py part
+                    payload["_precompressed"] = compress_corrected_arrays(
+                        payload["events"], payload["read_alignment"],
+                        payload["genome_alignment"])
                 return r, payload, err
             # the correction core (ctypes) and numpy release the GIL, so a
-            # thread pool parallelizes annotate across reads
+            # thread pool parallelizes annotate across reads; completed
+            # reads stream to the writer in small groups so the h5py
+            # write-back overlaps the rest of the batch's correction
             with stage("annotate", unit="reads") as s:
-                annotated = list(ex.map(one, zip(batch_reads, results)))
+                group: list = []
+                for res in ex.map(one, zip(batch_reads, results)):
+                    group.append(res)
+                    if len(group) >= 16:
+                        pending.append(writer.submit(write_many, group))
+                        group = []
+                if group:
+                    pending.append(writer.submit(write_many, group))
                 s.add(len(batch_reads))
-            pending.append(writer.submit(write_many, annotated))
         with stage("write", unit="reads") as s:
             for fut in pending:
                 n_ok += fut.result()
@@ -601,6 +631,43 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
     for p in write_errors:
         errors["Cannot save data"].append(p)
     return n_ok, dict(errors), dict(signal_hist)
+
+
+def _chunked(paths: List[str], cfg: AnnotateConfig) -> List[List[str]]:
+    """Split the file list for the prepare-prefetch pipeline: capped by
+    files_per_thread, but small runs still split into >=3 chunks so the
+    background prepare (HDF5-bound) of chunk k+1 genuinely overlaps the
+    DP/correction/write-back of chunk k."""
+    if not paths:
+        return []
+    # never chunk below one DP dispatch: small device batches re-pay the
+    # fixed scan/fetch latency per dispatch, which costs more than the
+    # prepare overlap saves
+    chunk_sz = max(cfg.dp_batch_size,
+                   min(cfg.files_per_thread, -(-len(paths) // 3)))
+    return [paths[lo: lo + chunk_sz]
+            for lo in range(0, len(paths), chunk_sz)]
+
+
+def _run_chunks(chunks: List[List[str]], cfg: AnnotateConfig,
+                fasta: FastaIndex, seed_index: SeedIndex, kmer_model):
+    """Drive the chunked Annotate pipeline: yields per-chunk
+    (n_ok, errors, signal_hist) while chunk k+1's prepare runs on a
+    background thread."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as prefetcher:
+        fut = (prefetcher.submit(prepare_batch, chunks[0], cfg, seed_index,
+                                 kmer_model) if chunks else None)
+        for ci in range(len(chunks)):
+            prepared, errors = fut.result()
+            fut = (prefetcher.submit(prepare_batch, chunks[ci + 1], cfg,
+                                     seed_index, kmer_model)
+                   if ci + 1 < len(chunks) else None)
+            n_ok, perrors, chist = process_prepared(prepared, cfg, fasta)
+            for k, v in perrors.items():
+                errors[k].extend(v)
+            yield n_ok, errors, chist
 
 
 def annotate_files(paths: List[str], cfg: AnnotateConfig,
@@ -617,11 +684,17 @@ def annotate_files(paths: List[str], cfg: AnnotateConfig,
     kmer_model = (load_kmer_model(cfg.kmer_model_file)
                   if cfg.kmer_model_file and os.path.isfile(cfg.kmer_model_file)
                   else None)
-    prepared, errors = prepare_batch(paths, cfg, seed_index, kmer_model)
-    n_ok, perrors, signal_hist = process_prepared(prepared, cfg, fasta)
-    for k, v in perrors.items():
-        errors[k].extend(v)
-    return n_ok, dict(errors), signal_hist
+    total_ok = 0
+    all_errors = defaultdict(list)
+    all_hist: Dict[int, int] = defaultdict(int)
+    for n_ok, errors, chist in _run_chunks(_chunked(paths, cfg), cfg,
+                                           fasta, seed_index, kmer_model):
+        total_ok += n_ok
+        for k, v in errors.items():
+            all_errors[k].extend(v)
+        for wnd, cnt in chist.items():
+            all_hist[wnd] += cnt
+    return total_ok, dict(all_errors), dict(all_hist)
 
 
 def annotate_folder(cfg: AnnotateConfig):
@@ -670,32 +743,20 @@ def annotate_folder(cfg: AnnotateConfig):
     total_ok = 0
     all_errors = defaultdict(list)
     all_hist: Dict[int, int] = defaultdict(int)
-    chunks = [paths[lo: lo + cfg.files_per_thread]
-              for lo in range(0, len(paths), cfg.files_per_thread)]
-    # prefetch: prepare chunk k+1 (HDF5-bound) on a background thread while
-    # chunk k runs its device DP + correction + write-back
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=1) as prefetcher:
-        fut = (prefetcher.submit(prepare_batch, chunks[0], cfg, seed_index,
-                                 kmer_model) if chunks else None)
-        for ci, batch in enumerate(chunks):
-            prepared, errors = fut.result()
-            fut = (prefetcher.submit(prepare_batch, chunks[ci + 1], cfg,
-                                     seed_index, kmer_model)
-                   if ci + 1 < len(chunks) else None)
-            n_ok, perrors, chist = process_prepared(prepared, cfg, fasta)
-            for k, v in perrors.items():
-                errors[k].extend(v)
-            for wnd, cnt in chist.items():
-                all_hist[wnd] += cnt
-            total_ok += n_ok
-            for k, v in errors.items():
-                all_errors[k].extend(v)
-            done = min((ci + 1) * cfg.files_per_thread, len(paths))
-            dt = time.time() - start
-            if cfg.out_level <= 1 and done < len(paths):
-                print(f"{done}/{len(paths)} reads, "
-                      f"{done / max(dt, 1e-9):.1f} reads/s")
+    chunks = _chunked(paths, cfg)
+    done = 0
+    for ci, (n_ok, errors, chist) in enumerate(
+            _run_chunks(chunks, cfg, fasta, seed_index, kmer_model)):
+        for wnd, cnt in chist.items():
+            all_hist[wnd] += cnt
+        total_ok += n_ok
+        for k, v in errors.items():
+            all_errors[k].extend(v)
+        done += len(chunks[ci])
+        dt = time.time() - start
+        if cfg.out_level <= 1 and done < len(paths):
+            print(f"{done}/{len(paths)} reads, "
+                  f"{done / max(dt, 1e-9):.1f} reads/s")
     dt = time.time() - start
     if pcount > 1:
         from nanomod_tpu.parallel.dist import merge_annotate_stats
