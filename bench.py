@@ -103,13 +103,23 @@ def bench_annotate():
     fasta = FastaIndex(fasta_p)
     sidx = SeedIndex(fasta.seqs, k=cfg.seed_k)
 
+    from nanomod_tpu.utils.observe import observer
+
     annotate_files(paths, cfg, fasta, sidx)      # warmup/compile
+    observer().reset()
     t0 = time.time()
     n_ok, _, _ = annotate_files(paths, cfg, fasta, sidx)
     rate = n_ok / (time.time() - t0)
     ref_rate = float(os.environ.get("NANOMOD_REF_ANNOTATE_RATE", 5.5))
+    stages = {name: d["seconds"]
+              for name, d in observer().snapshot().items()}
     return {"metric": "reads_resquiggled_per_sec", "value": round(rate, 1),
-            "unit": "reads/s", "vs_baseline": round(rate / ref_rate, 2)}
+            "unit": "reads/s", "vs_baseline": round(rate / ref_rate, 2),
+            # the reference's practical operating point: 12 worker
+            # processes/node (ref myRefBaseSignalAnnotation.py:1452-1483)
+            # ~= 12 x 5.5 reads/s
+            "vs_ref_12thread": round(rate / (12 * ref_rate), 2),
+            "stage_seconds": stages}
 
 
 def main():

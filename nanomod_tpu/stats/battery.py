@@ -262,6 +262,15 @@ def run_battery(
                 v1d, cn1d, v2d, cn2d, row_index,
                 cov=cov, repeats=cfg.downsampling, quantile_idx=q_idx,
                 seed=cfg.downsampling_seed)
+        # start the D2H stream now: the copy rides behind the kernel in
+        # the device queue, so finalize()'s np.asarray finds the bytes
+        # already on host instead of paying the link latency per tile
+        for dev in (comp_dev, cap_dev):
+            try:
+                if dev is not None:
+                    dev.copy_to_host_async()
+            except AttributeError:
+                pass
         return (lo, hi, n1, n2, comp_dev, cap_dev, is_milli)
 
     def finalize(rec):
