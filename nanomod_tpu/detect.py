@@ -230,9 +230,13 @@ def save_sign_test(table: SignTable, cfg: DetectConfig) -> str:
     os.makedirs(cfg.out_folder, exist_ok=True)
     path = os.path.join(cfg.out_folder, f"{cfg.file_id}_sign_test.txt")
     r = table.res
-    # neighborPvalues == 0 still emits the 4th column pair (the KS tuple is
-    # appended verbatim, ref myDetect.py:413); only testMethod 'ks' omits it
-    has_comb = (cfg.stats.test_method != "ks" and r.pcomb is not None)
+    # ref myDetect.py:531-536: the 4th column pair reaches the file only when
+    # neighborPvalues > 0 AND testMethod != 'ks'.  At neighborPvalues == 0 the
+    # KS-copy tuple (myDetect.py:413) still exists internally as the rank key
+    # (res.stcomb/pcomb set in detect_from_pools) but is never written.
+    has_comb = (cfg.stats.test_method != "ks"
+                and cfg.stats.neighbor_pvalues > 0
+                and r.pcomb is not None)
 
     native_ok = False
     if cfg.native_ingest:          # one knob gates all native host paths

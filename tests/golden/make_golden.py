@@ -278,29 +278,28 @@ def run_variant(reads1, reads2, *, test_method="stouffer", neighbor=NEIGHBOR_K,
                 mstd_rows.append([key, pos, b2[key][pos], m1, s1, m2, s2])
 
     lines = []
-    has_comb = test_method != "ks" and neighbor >= 0
     w = stouffer_weights(neighbor, WEIGHTS_DIF)
     for i, row in enumerate(rows):
         key, pos, base, n1, n2, stu, pu, stt, pt, stks, pks = row
         line = "%s %s %d %s %d %d %.3f %.3E %.3f %.3E %.3f %.3E" % (
             key[0], key[1], pos + 1, base, n1, n2, stu, pu, stt, pt,
             stks, pks)
-        if test_method != "ks":
-            if neighbor == 0:
-                stc, pc = stks, pks          # ref myDetect.py:413
+        # ref myDetect.py:531-536: the 4th column pair is written only when
+        # neighborPvalues > 0 (the nb=0 KS-copy tuple, myDetect.py:413, is an
+        # internal rank key only and never reaches the file)
+        if test_method != "ks" and neighbor > 0:
+            window = []
+            for off in range(-neighbor, neighbor + 1):
+                j = i + off
+                ok = (0 <= j < len(rows) and rows[j][0] == key
+                      and rows[j][1] - pos == off)
+                window.append(rows[j][10] if ok else 1.0)
+            if test_method == "fisher":
+                stc, pc = ss.combine_pvalues(window, method="fisher")
             else:
-                window = []
-                for off in range(-neighbor, neighbor + 1):
-                    j = i + off
-                    ok = (0 <= j < len(rows) and rows[j][0] == key
-                          and rows[j][1] - pos == off)
-                    window.append(rows[j][10] if ok else 1.0)
-                if test_method == "fisher":
-                    stc, pc = ss.combine_pvalues(window, method="fisher")
-                else:
-                    stc, pc = ss.combine_pvalues(window, method="stouffer",
-                                                 weights=w)
-                stc, pc = clamp_stat(stc), clamp_p(pc)
+                stc, pc = ss.combine_pvalues(window, method="stouffer",
+                                             weights=w)
+            stc, pc = clamp_stat(stc), clamp_p(pc)
             line += " %.3f %.3E" % (stc, pc)
         lines.append(line + "\n")
 
