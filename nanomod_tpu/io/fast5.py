@@ -187,16 +187,20 @@ def write_corrected_events(
         grp = base_group.create_group(CORRECTED_GROUP)
         bc = grp.create_group(BASECALLED_TEMPLATE)
         al = bc.create_group(ALIGNMENT)
+        # fixed-length byte strings: what the reference's h5py 2.9 wrote
+        # (ref myRefBaseSignalAnnotation.py:719-721) and what the native
+        # writer (native/fast5_write.cpp) emits — h5py 3.x would otherwise
+        # store Python str as vlen UTF-8
         al.attrs[MAP_START] = start
-        al.attrs[MAP_STRAND] = strand
-        al.attrs[MAP_CHROM] = chrom
+        al.attrs[MAP_STRAND] = np.bytes_(strand)
+        al.attrs[MAP_CHROM] = np.bytes_(chrom)
         al.attrs["clipped_bases_start"] = clipped_start
         al.attrs["clipped_bases_end"] = clipped_end
         al.attrs["num_insertions"] = num_insertions
         al.attrs["num_deletions"] = num_deletions
         al.attrs["num_matches"] = num_matches
         al.attrs["num_mismatches"] = num_mismatches
-        al.attrs["Bcinfo"] = basecall_group
+        al.attrs["Bcinfo"] = np.bytes_(basecall_group)
         _write_dataset(al, READ_ALIGNMENT, *precompressed[READ_ALIGNMENT],
                        compression)
         _write_dataset(al, GENOME_ALIGNMENT, *precompressed[GENOME_ALIGNMENT],

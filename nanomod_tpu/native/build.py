@@ -21,6 +21,7 @@ _CACHE = {}
 
 _EXTRA_FLAGS = {
     "fast5_ingest": ["-lz", "-pthread"],
+    "fast5_write": ["-lz", "-pthread"],
     "traceback": ["-pthread"],
     "format_core": ["-pthread"],
 }

@@ -541,23 +541,48 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
     signal_hist: Dict[int, int] = defaultdict(int)
     workers = _host_workers(cfg)
 
+    # native write-back (fast5_write.cpp): appends + patches each FAST5 on a
+    # C++ thread pool with the deflate fused in — no libhdf5 global lock.
+    # ~6x the h5py path measured at 128x2kb reads; h5py remains the fallback
+    # for files the native writer declines (new-style HDF5 layouts).
+    use_native_write = False
+    if cfg.use_native and cfg.fast5_compression == "gzip":
+        from nanomod_tpu.native.build import native_available
+        use_native_write = native_available("fast5_write")
+
+    def _write_h5py(r, payload):
+        pre = payload.pop("_precompressed", None)
+        try:
+            write_corrected_events(r.path, **payload,
+                                   basecall_group=cfg.basecall_1d,
+                                   compression=cfg.fast5_compression,
+                                   precompressed=pre)
+            return True
+        except OSError:
+            write_errors.append(r.path)
+            return False
+
     def write_many(annotated):
         ok = 0
+        good = []
         for r, payload, err in annotated:
             if payload is None:
                 errors[err].append(r.path)
                 continue
             for wnd, cnt in payload.pop("signal_hist", {}).items():
                 signal_hist[wnd] += cnt
-            pre = payload.pop("_precompressed", None)
-            try:
-                write_corrected_events(r.path, **payload,
-                                       basecall_group=cfg.basecall_1d,
-                                       compression=cfg.fast5_compression,
-                                       precompressed=pre)
-                ok += 1
-            except OSError:
-                write_errors.append(r.path)
+            good.append((r, payload))
+        if use_native_write and good:
+            from nanomod_tpu.native.fast5_write_bind import (
+                write_corrected_batch_native)
+            mask = write_corrected_batch_native(
+                [r.path for r, _ in good], [p for _, p in good],
+                basecall_group=cfg.basecall_1d, nthreads=workers)
+            if mask is not None:
+                ok += int(mask.sum())
+                good = [gp for gp, m in zip(good, mask) if not m]
+        for r, payload in good:
+            ok += _write_h5py(r, payload)
         return ok
 
     def aligned_batches():
@@ -603,9 +628,11 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
                 if ops is None:
                     return r, None, "Not in alignment sam"
                 payload, err = annotate_one(r, ops, ws, fasta, cfg)
-                if payload is not None and cfg.fast5_compression == "gzip":
-                    # deflate here (zlib releases the GIL) so the single
-                    # writer thread only does the serialized h5py part
+                if (payload is not None and not use_native_write
+                        and cfg.fast5_compression == "gzip"):
+                    # h5py path: deflate here (zlib releases the GIL) so the
+                    # single writer thread only does the serialized h5py
+                    # part; the native writer deflates in C++ itself
                     payload["_precompressed"] = compress_corrected_arrays(
                         payload["events"], payload["read_alignment"],
                         payload["genome_alignment"])
