@@ -24,6 +24,7 @@ kind of warning the reference prints (myDetect.py:432-434).
 
 from __future__ import annotations
 
+import os
 import zlib
 from collections import defaultdict
 from dataclasses import dataclass
@@ -118,7 +119,7 @@ class PoolBuilder:
         if len(pos):
             self._chunks[(chrom, strand)].append((pos, means, codes))
 
-    def finalize(self, max_capacity: int = 0
+    def finalize(self, max_capacity: int = 0, nthreads: int = 0
                  ) -> Dict[Tuple[str, str], PositionPools]:
         """max_capacity > 0 caps the per-position reservoir: positions
         deeper than the cap keep a deterministic random subsample (the RNG
@@ -134,13 +135,75 @@ class PoolBuilder:
             val = np.concatenate([c[1] for c in chunks])
             cod = np.concatenate([c[2] for c in chunks])
             out[(chrom, strand)] = pack_observations(
-                chrom, strand, pos, val, cod, max_capacity=max_capacity)
+                chrom, strand, pos, val, cod, max_capacity=max_capacity,
+                nthreads=nthreads)
         return out
+
+
+def _radix_sort_u64(key: np.ndarray, nthreads: int) -> None:
+    """In-place ascending sort of a u64 array: native parallel LSD radix
+    (native/sort_core.cpp, skips constant key bytes) with numpy fallback."""
+    import ctypes
+
+    from nanomod_tpu.native.build import load_native
+    lib = load_native("sort_core")
+    if lib is None or len(key) < (1 << 16):
+        key.sort()
+        return
+    scratch = np.empty_like(key)
+    p = ctypes.POINTER(ctypes.c_uint64)
+    lib.nm_radix_sort_u64(key.ctypes.data_as(p), ctypes.c_int64(len(key)),
+                          scratch.ctypes.data_as(p), ctypes.c_int(nthreads))
+
+
+def _float32_monotone_u32(val: np.ndarray) -> np.ndarray:
+    """Order-preserving float32 -> uint32 bijection (IEEE total order;
+    -0.0 sorts before +0.0, which is numerically invisible downstream)."""
+    u = np.ascontiguousarray(val, dtype=np.float32).view(np.uint32)
+    return np.where(u & np.uint32(0x80000000), ~u, u | np.uint32(0x80000000))
+
+
+def _u32_monotone_float32(m: np.ndarray) -> np.ndarray:
+    u = np.where(m & np.uint32(0x80000000),
+                 m ^ np.uint32(0x80000000), ~m).astype(np.uint32)
+    return u.view(np.float32)
+
+
+def _canonical_sort(pos: np.ndarray, val: np.ndarray, cod: np.ndarray,
+                    nthreads: int = 0):
+    """Sort observations by (position, value, base code) — the canonical
+    in-position order every downstream consumer relies on.
+
+    Fast path: one composite u64 key (29-bit relative position | 32-bit
+    monotone float | 3-bit code) sorted range-bucketed on a thread pool
+    (numpy's sort releases the GIL), then decoded — ~6x the 3-key lexsort
+    that dominated E. coli-scale pool builds (57 s at 210M observations).
+    Positions spanning >= 2^29 fall back to the exact lexsort."""
+    n = len(pos)
+    if n == 0:
+        return pos, np.asarray(val, np.float32), np.asarray(cod, np.int8)
+    pmin = int(pos.min())
+    prange = int(pos.max()) - pmin
+    if prange >= (1 << 29):
+        order = np.lexsort((cod, val, pos))
+        return pos[order], val[order], cod[order]
+    key = (((pos - pmin).astype(np.uint64) << np.uint64(35))
+           | (_float32_monotone_u32(val).astype(np.uint64) << np.uint64(3))
+           | (cod.astype(np.uint64) & np.uint64(7)))
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    _radix_sort_u64(key, nthreads)
+    pos_s = (key >> np.uint64(35)).astype(np.int64) + pmin
+    val_s = _u32_monotone_float32(
+        ((key >> np.uint64(3)) & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    cod_s = (key & np.uint64(7)).astype(np.int8)
+    return pos_s, val_s, cod_s
 
 
 def pack_observations(chrom: str, strand: str, pos: np.ndarray,
                       val: np.ndarray, cod: np.ndarray,
-                      max_capacity: int = 0) -> PositionPools:
+                      max_capacity: int = 0,
+                      nthreads: int = 0) -> PositionPools:
     """Pack flat (position, value, base-code) observations into one dense
     PositionPools — one vectorized pass: group by position via a sort, slot
     each observation at its rank within its position group.  Shared by
@@ -154,8 +217,9 @@ def pack_observations(chrom: str, strand: str, pos: np.ndarray,
     the max_capacity subsample below — produces byte-identical results on
     1 host or N.  (The reference's file-listing order is OS-dependent to
     begin with, ref myDetect.py:122; see DIVERGENCES.md.)"""
-    order = np.lexsort((cod, val, pos))
-    pos_s, val_s, cod_s = pos[order], val[order], cod[order]
+    pos_s, val_s, cod_s = _canonical_sort(pos, np.asarray(val, np.float32),
+                                          np.asarray(cod, np.int8),
+                                          nthreads=nthreads)
     # pos_s is sorted: run boundaries come from one diff pass (np.unique
     # would sort AGAIN — at 100M+ observations that second radix sort is
     # tens of seconds)

@@ -101,7 +101,8 @@ def ingest_group(folder: str, cfg: DetectConfig,
     if cfg.out_level <= OUTPUT_INFO:
         print(f"Number of files in {folder} is {len(files)}")
     with stage("finalize_pools", unit="observations") as s:
-        pools = builder.finalize(max_capacity=cfg.pool_capacity)
+        pools = builder.finalize(max_capacity=cfg.pool_capacity,
+                                 nthreads=cfg.num_workers)
         s.add(sum(int(p.counts.sum()) for p in pools.values()))
     return pools
 

@@ -22,6 +22,7 @@ _CACHE = {}
 _EXTRA_FLAGS = {
     "fast5_ingest": ["-lz", "-pthread"],
     "fast5_write": ["-lz", "-pthread"],
+    "sort_core": ["-pthread"],
     "traceback": ["-pthread"],
     "format_core": ["-pthread"],
 }

@@ -520,7 +520,12 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
     for r in prepared:
         buckets[_length_bucket(len(r.fwd_seq))].append(r)
 
-    sub = max(8, cfg.dp_batch_size)
+    # sub-batch size: split the run into >=2 DP parts when possible so the
+    # device computes part k+1 while the host annotates part k (measured on
+    # TPU: 2x64 pipelined == 1x128 serial in device time, so the split is
+    # free); power-of-2 sizes keep the jit shape set small
+    sub = max(8, min(cfg.dp_batch_size, -(-len(prepared) // 2)))
+    sub = 1 << (sub - 1).bit_length()
     dp_parts = []          # (reads, pad_bsz) specs, dispatched lazily below
     for bucket_reads in buckets.values():
         for lo in range(0, len(bucket_reads), sub):
@@ -661,17 +666,16 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
 
 
 def _chunked(paths: List[str], cfg: AnnotateConfig) -> List[List[str]]:
-    """Split the file list for the prepare-prefetch pipeline: capped by
-    files_per_thread, but small runs still split into >=3 chunks so the
-    background prepare (HDF5-bound) of chunk k+1 genuinely overlaps the
-    DP/correction/write-back of chunk k."""
+    """Split the file list for the prepare-prefetch pipeline: chunks of up
+    to files_per_thread, aiming for >=3 chunks so the background prepare
+    (HDF5-bound) of chunk k+1 overlaps the DP/correction/write-back of
+    chunk k.  A floor of 64 files/chunk takes precedence — below that the
+    per-dispatch DP latency costs more than the prepare overlap saves — so
+    runs under 128 files process as a single chunk (process_prepared still
+    splits them into >=2 in-flight DP sub-batches internally)."""
     if not paths:
         return []
-    # never chunk below one DP dispatch: small device batches re-pay the
-    # fixed scan/fetch latency per dispatch, which costs more than the
-    # prepare overlap saves
-    chunk_sz = max(cfg.dp_batch_size,
-                   min(cfg.files_per_thread, -(-len(paths) // 3)))
+    chunk_sz = max(64, min(cfg.files_per_thread, -(-len(paths) // 3)))
     return [paths[lo: lo + chunk_sz]
             for lo in range(0, len(paths), chunk_sz)]
 
