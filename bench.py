@@ -16,8 +16,15 @@ reference-equivalent rate recorded in BASELINE.md (5.5 reads/s/core,
 override with NANOMOD_REF_ANNOTATE_RATE); set BENCH_SKIP_ANNOTATE=1 to
 skip it.
 
+All datasets are regenerated from FIXED seeds (battery: rng(0); annotate:
+genome seed 1 / reads seed 2; e2e: seeds 11/1/2) so every round measures
+the identical workload, and each metric reports the MEDIAN of N timed runs
+with min/max dispersion — the tunneled-TPU link is noisy and single-shot
+numbers were not comparable across rounds.
+
 Prints ONE JSON line:
-  {"metric", "value", "unit", "vs_baseline", "secondary": {...}}
+  {"metric", "value", "unit", "vs_baseline", "dispersion",
+   "secondary": {...annotate...}, "e2e": {...detect pipeline...}}
 """
 
 import json
@@ -30,7 +37,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def bench_ours(values1, counts1, values2, counts2, positions, repeat=3):
+def bench_ours(values1, counts1, values2, counts2, positions, repeat=5):
+    """Median-of-`repeat` battery throughput (the tunneled-TPU link is
+    noisy; round-over-round deltas need a stable statistic).  Returns
+    (median sites/s, {p25, p75, min, max} sites/s)."""
     from nanomod_tpu.stats.battery import run_battery
     from nanomod_tpu.stats.combine import combine_neighbor_pvalues
     from nanomod_tpu.config import StatConfig
@@ -46,11 +56,15 @@ def bench_ours(values1, counts1, values2, counts2, positions, repeat=3):
         return order[0]
 
     once()  # warmup/compile
-    t0 = time.time()
+    rates = []
     for _ in range(repeat):
+        t0 = time.time()
         once()
-    dt = (time.time() - t0) / repeat
-    return len(positions) / dt
+        rates.append(len(positions) / (time.time() - t0))
+    rates.sort()
+    disp = {"min": round(rates[0], 1), "max": round(rates[-1], 1),
+            "n": repeat}
+    return float(np.median(rates)), disp
 
 
 def bench_reference_equiv(values1, counts1, values2, counts2, sample=300):
@@ -106,20 +120,67 @@ def bench_annotate():
     from nanomod_tpu.utils.observe import observer
 
     annotate_files(paths, cfg, fasta, sidx)      # warmup/compile
-    observer().reset()
-    t0 = time.time()
-    n_ok, _, _ = annotate_files(paths, cfg, fasta, sidx)
-    rate = n_ok / (time.time() - t0)
+    repeat = int(os.environ.get("BENCH_ANNOTATE_REPEAT", 3))
+    rates = []
+    stages = {}
+    for _ in range(repeat):
+        observer().reset()
+        t0 = time.time()
+        n_ok, _, _ = annotate_files(paths, cfg, fasta, sidx)
+        rates.append(n_ok / (time.time() - t0))
+        stages = {name: d["seconds"]
+                  for name, d in observer().snapshot().items()}
+    rates.sort()
+    rate = float(np.median(rates))
     ref_rate = float(os.environ.get("NANOMOD_REF_ANNOTATE_RATE", 5.5))
-    stages = {name: d["seconds"]
-              for name, d in observer().snapshot().items()}
     return {"metric": "reads_resquiggled_per_sec", "value": round(rate, 1),
             "unit": "reads/s", "vs_baseline": round(rate / ref_rate, 2),
             # the reference's practical operating point: 12 worker
             # processes/node (ref myRefBaseSignalAnnotation.py:1452-1483)
             # ~= 12 x 5.5 reads/s
             "vs_ref_12thread": round(rate / (12 * ref_rate), 2),
+            "dispersion": {"min": round(rates[0], 1),
+                           "max": round(rates[-1], 1), "n": repeat},
             "stage_seconds": stages}
+
+
+def bench_e2e_detect():
+    """End-to-end detect (FAST5 ingest -> pools -> battery -> combine ->
+    rank -> save) on a pinned corrected-fixture dataset; positions/s of
+    wall clock.  Covers the host stages the battery metric does not."""
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from fixtures import make_genome, make_corrected_dataset
+    from nanomod_tpu.config import DetectConfig
+    from nanomod_tpu.detect import run_detect
+
+    n_reads = int(os.environ.get("BENCH_E2E_READS", 120))
+    glen = int(os.environ.get("BENCH_E2E_GENOME", 4000))
+    root = tempfile.mkdtemp()
+    chrom, genome = make_genome(length=glen, seed=11)
+    d1 = os.path.join(root, "g1")
+    d2 = os.path.join(root, "g2")
+    make_corrected_dataset(d1, chrom, genome, n_reads=n_reads, seed=1)
+    make_corrected_dataset(d2, chrom, genome, n_reads=n_reads, seed=2,
+                           mod_pos=glen // 3, mod_delta=1.5)
+    cfg = DetectConfig(wrk_base1=d1, wrk_base2=d2,
+                       out_folder=os.path.join(root, "out"),
+                       file_id="bench", min_lr=0, out_level=3)
+    table, order, sites = run_detect(cfg)          # warmup/compile
+    repeat = int(os.environ.get("BENCH_E2E_REPEAT", 3))
+    rates = []
+    for _ in range(repeat):
+        t0 = time.time()
+        table, order, sites = run_detect(cfg)
+        rates.append(len(table) / (time.time() - t0))
+    rates.sort()
+    return {"metric": "e2e_detect_positions_per_sec",
+            "value": round(float(np.median(rates)), 1), "unit": "positions/s",
+            "top_site_pos": int(sites[0].pos) if len(sites) else -1,
+            "dispersion": {"min": round(rates[0], 1),
+                           "max": round(rates[-1], 1), "n": repeat}}
 
 
 def main():
@@ -138,7 +199,7 @@ def main():
     values2 = np.round(rng.normal(0, 1, (p_total, c_max)), 3).astype(np.float32)
     positions = np.arange(p_total, dtype=np.int64)
 
-    ours = bench_ours(values1, counts1, values2, counts2, positions)
+    ours, disp = bench_ours(values1, counts1, values2, counts2, positions)
     ref = bench_reference_equiv(values1, counts1, values2, counts2)
 
     line = {
@@ -146,9 +207,12 @@ def main():
         "value": round(ours, 1),
         "unit": "sites/s",
         "vs_baseline": round(ours / ref, 2),
+        "dispersion": disp,
     }
     if not os.environ.get("BENCH_SKIP_ANNOTATE"):
         line["secondary"] = bench_annotate()
+    if not os.environ.get("BENCH_SKIP_E2E"):
+        line["e2e"] = bench_e2e_detect()
     print(json.dumps(line))
 
 

@@ -40,45 +40,51 @@ def _gaussian_kde_curve(vals: np.ndarray, grid: np.ndarray) -> np.ndarray:
     return np.exp(-0.5 * diffs ** 2).sum(axis=1) / (n * bw * np.sqrt(2 * np.pi))
 
 
-def plot_top_sites(table, sites, pools1, pools2, cfg, max_sites: int = None):
-    """One page per top site: signal distributions of both groups across the
-    ±window neighborhood plus p-value bar tracks.
+def collect_site_window(table, site, pools1, pools2, cfg):
+    """Gather everything one site's plot page needs — per-position signal
+    vectors of both groups, x labels and the ranking p-values — as a plain
+    dict (picklable: the multi-host sharded path ships these to rank 0).
+    Returns None when either group lacks the site's (chrom, strand)."""
+    key = (site.chrom, site.strand)
+    g1 = pools1.get(key)
+    g2 = pools2.get(key)
+    if g1 is None or g2 is None:
+        return None
+    try:
+        site_gid = table.keys.index(key)
+    except ValueError:
+        site_gid = -1
+    w = cfg.rank.window
+    positions = range(site.pos - w, site.pos + w + 1)
+    data1, data2, labels, pvals = [], [], [], []
+    for p in positions:
+        i1 = np.searchsorted(g1.positions, p)
+        i2 = np.searchsorted(g2.positions, p)
+        ok1 = i1 < len(g1.positions) and g1.positions[i1] == p
+        ok2 = i2 < len(g2.positions) and g2.positions[i2] == p
+        v1 = g1.values[i1, : g1.counts[i1]] if ok1 else np.empty(0)
+        v2 = g2.values[i2, : g2.counts[i2]] if ok2 else np.empty(0)
+        data1.append(v1[np.isfinite(v1)])
+        data2.append(v2[np.isfinite(v2)])
+        base = g2.base[i2] if ok2 else "?"
+        labels.append(f"{p + 1}/{base}")
+        hits = np.where(
+            (table.positions == p) & (table.group_ids == site_gid))[0]
+        _, p_col = table.columns(cfg.stats)
+        pvals.append(float(p_col[hits[0]]) if len(hits) else 1.0)
+    return {"rank": site.rank, "chrom": site.chrom, "strand": site.strand,
+            "pos": site.pos, "data1": data1, "data2": data2,
+            "labels": labels, "pvals": pvals}
 
-    cfg.plot_type selects the reference's two modes
-    (ref Base_Most_Significant_Plot.R:5-85 violin, :86-188 mirrored density;
-    selected by --plotType, ref bin/NanoMod.py detect options)."""
-    max_sites = max_sites or cfg.rank.top_n
-    os.makedirs(cfg.out_folder, exist_ok=True)
-    path = os.path.join(cfg.out_folder, f"rplot_{cfg.file_id}.pdf")
+
+def render_site_pages(path, site_datas, cfg):
+    """Render collected site windows (collect_site_window dicts) into one
+    PDF, one page per site, in rank order."""
     w = cfg.rank.window
     with PdfPages(path) as pdf:
-        for site in sites[:max_sites]:
-            key = (site.chrom, site.strand)
-            g1 = pools1.get(key)
-            g2 = pools2.get(key)
-            if g1 is None or g2 is None:
-                continue
-            positions = range(site.pos - w, site.pos + w + 1)
-            data1, data2, labels, pvals = [], [], [], []
-            for p in positions:
-                i1 = np.searchsorted(g1.positions, p)
-                i2 = np.searchsorted(g2.positions, p)
-                ok1 = i1 < len(g1.positions) and g1.positions[i1] == p
-                ok2 = i2 < len(g2.positions) and g2.positions[i2] == p
-                v1 = g1.values[i1, : g1.counts[i1]] if ok1 else np.empty(0)
-                v2 = g2.values[i2, : g2.counts[i2]] if ok2 else np.empty(0)
-                data1.append(v1[np.isfinite(v1)])
-                data2.append(v2[np.isfinite(v2)])
-                base = g2.base[i2] if ok2 else "?"
-                labels.append(f"{p + 1}/{base}")
-                ti = np.searchsorted(table.positions, p)
-                hits = np.where(
-                    (table.positions == p)
-                    & (table.group_ids == table.group_ids[site.table_index])
-                )[0]
-                _, p_col = table.columns(cfg.stats)
-                pvals.append(float(p_col[hits[0]]) if len(hits) else 1.0)
-
+        for sd in sorted(site_datas, key=lambda d: d["rank"]):
+            data1, data2 = sd["data1"], sd["data2"]
+            labels, pvals = sd["labels"], sd["pvals"]
             fig, (ax1, ax2) = plt.subplots(
                 2, 1, figsize=(max(8, w * 1.7), 6),
                 gridspec_kw={"height_ratios": [3, 1]}, sharex=True)
@@ -117,8 +123,8 @@ def plot_top_sites(table, sites, pools1, pools2, cfg, max_sites: int = None):
                 ax1.axhline(0, color="0.85", lw=0.5, zorder=0)
             ax1.set_ylabel("normalized signal")
             ax1.set_title(
-                f"rank {site.rank}: {site.chrom}:{site.pos + 1} "
-                f"({site.strand}) — group1 blue vs group2 red")
+                f"rank {sd['rank']}: {sd['chrom']}:{sd['pos'] + 1} "
+                f"({sd['strand']}) — group1 blue vs group2 red")
             ax2.bar(xs, np.log10(np.maximum(pvals, 1e-300)), color="#6ACC65")
             ax2.set_ylabel("log10 p")
             ax2.set_xticks(xs)
@@ -127,6 +133,24 @@ def plot_top_sites(table, sites, pools1, pools2, cfg, max_sites: int = None):
             pdf.savefig(fig)
             plt.close(fig)
     return path
+
+
+def plot_top_sites(table, sites, pools1, pools2, cfg, max_sites: int = None):
+    """One page per top site: signal distributions of both groups across the
+    ±window neighborhood plus p-value bar tracks.
+
+    cfg.plot_type selects the reference's two modes
+    (ref Base_Most_Significant_Plot.R:5-85 violin, :86-188 mirrored density;
+    selected by --plotType, ref bin/NanoMod.py detect options)."""
+    max_sites = max_sites or cfg.rank.top_n
+    os.makedirs(cfg.out_folder, exist_ok=True)
+    path = os.path.join(cfg.out_folder, f"rplot_{cfg.file_id}.pdf")
+    datas = []
+    for site in sites[:max_sites]:
+        sd = collect_site_window(table, site, pools1, pools2, cfg)
+        if sd is not None:
+            datas.append(sd)
+    return render_site_pages(path, datas, cfg)
 
 
 def plot_rank_histogram(grouped: Dict, labels: List[str], out_path: str,

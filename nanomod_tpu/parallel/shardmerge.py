@@ -318,6 +318,131 @@ def _global_top_sites(table, order, plan: ShardPlan, cfg, gather):
     return sites                # caller's local shard table
 
 
+def _global_region_sites(full_table, trimmed_table, plan: ShardPlan, cfg,
+                         gather):
+    """Global region-rank (RegionRankbyST=1, ref myDetect.py:463-516) under
+    the sharded merge: each host scores the windows whose CENTER it owns
+    (the halo covers every member row and its combination neighbors), using
+    the GLOBAL per-key span so the window grid and the ``cp >= pmax`` quirk
+    match the single-host walk, then the per-host top candidates merge into
+    one exactly-ranked global walk (sort by (q, tie) + overlap dedup +
+    top-N min-distance dedup)."""
+    from nanomod_tpu.rank.ranking import (SignTable, dedup_region_windows,
+                                          region_candidates, top_sites)
+
+    gid = {key: i for i, key in enumerate(plan.keys)}
+    k_n = len(plan.keys)
+    w = cfg.rank.window + 1
+
+    # global per-key span of the JOINED table rows (the trimmed shards
+    # partition them): local extents gathered + reduced
+    ext = np.empty((k_n, 2), dtype=np.int64)
+    ext[:, 0] = np.iinfo(np.int64).max
+    ext[:, 1] = np.iinfo(np.int64).min
+    if len(trimmed_table):
+        for li, key in enumerate(trimmed_table.keys):
+            sel = trimmed_table.group_ids == li
+            if sel.any():
+                i = gid[key]
+                p = trimmed_table.positions[sel]
+                ext[i, 0] = int(p.min())
+                ext[i, 1] = int(p.max())
+    g_ext = np.asarray(gather(ext.astype(np.int64))).reshape(-1, k_n, 2)
+    span_lo = g_ext[:, :, 0].min(axis=0)
+    span_hi = g_ext[:, :, 1].max(axis=0)
+
+    lo_own, hi_own = plan.own_range()
+    cand_rows = np.empty((0, 6), np.int64)
+    cand_q = np.empty(0, np.float64)
+    if len(full_table):
+        spans = {}
+        for li, key in enumerate(full_table.keys):
+            i = gid[key]
+            if span_lo[i] <= span_hi[i]:
+                spans[li] = (int(span_lo[i]), int(span_hi[i]))
+        q, tie, ti, gs, pk = region_candidates(full_table, cfg.stats,
+                                               cfg.rank, spans=spans)
+        if len(q):
+            kmap = np.array([gid[k] for k in full_table.keys], np.int64)
+            c = plan.coord(kmap[gs], pk)
+            own = (c >= lo_own) & (c < hi_own)
+            q, tie, ti, gs, pk = q[own], tie[own], ti[own], gs[own], pk[own]
+        if len(q):
+            order = np.lexsort((tie, q))
+            n_cand = cfg.rank.top_n * (2 * w + 1) + 8
+            order = order[:n_cand]
+            base_u8 = np.frombuffer(
+                full_table.base[ti[order]].astype("S1").tobytes(), np.uint8)
+            cand_rows = np.stack([
+                kmap[gs[order]], pk[order], tie[order],
+                base_u8.astype(np.int64),
+                full_table.cov1[ti[order]].astype(np.int64),
+                full_table.cov2[ti[order]].astype(np.int64)], axis=1)
+            cand_q = q[order]
+
+    g_rows = np.asarray(gather(cand_rows.astype(np.int64))).reshape(-1, 6)
+    g_q = np.ascontiguousarray(
+        np.asarray(gather(np.ascontiguousarray(cand_q).view(np.uint8)))
+    ).view(np.float64)
+    # reproduce the single-host windseg append order: (group, pk) ascending
+    by = np.lexsort((g_rows[:, 1], g_rows[:, 0]))
+    g_rows, g_q = g_rows[by], g_q[by]
+    order = np.lexsort((g_rows[:, 2], g_q))
+    if cfg.rank.wind_ovlp:
+        order = dedup_region_windows(order, g_rows[:, 0], g_rows[:, 1], w)
+    mini = SignTable(
+        keys=plan.keys, group_ids=g_rows[:, 0],
+        positions=g_rows[:, 1],
+        base=g_rows[:, 3].astype(np.uint8).view("S1").astype("<U1"),
+        cov1=g_rows[:, 4].astype(np.int32),
+        cov2=g_rows[:, 5].astype(np.int32), res=None)
+    sites = top_sites(mini, order, cfg.stats, cfg.rank, top_n=cfg.rank.top_n)
+    for s in sites:
+        s.table_index = -1
+    return sites
+
+
+def _sharded_plots(full_table, sites, own1, own2, plan: ShardPlan, cfg,
+                   gather, pid: int):
+    """Top-site plots under the sharded merge (the union path draws them
+    from full pools, ref myDetect.py:257-299): the host OWNING each site's
+    coordinate collects that site's ±window signal/p-value payload from its
+    halo-padded pools, payloads gather to rank 0, rank 0 renders the
+    single reference-named PDF."""
+    import pickle
+
+    from nanomod_tpu.harness.plots import (collect_site_window,
+                                           render_site_pages)
+
+    gid = {key: i for i, key in enumerate(plan.keys)}
+    lo_own, hi_own = plan.own_range()
+    local = []
+    for site in sites[: cfg.rank.top_n]:
+        key = (site.chrom, site.strand)
+        if key not in gid:
+            continue
+        c = int(plan.coord(np.array([gid[key]]), np.array([site.pos]))[0])
+        if not (lo_own <= c < hi_own):
+            continue
+        sd = collect_site_window(full_table, site, own1, own2, cfg)
+        if sd is not None:
+            local.append(sd)
+    blob = np.frombuffer(pickle.dumps(local), dtype=np.uint8)
+    lens = np.asarray(gather(np.array([len(blob)], np.int64)))
+    blobs = np.asarray(gather(blob))
+    if pid == 0:
+        datas = []
+        off = 0
+        for n in lens:
+            if n:
+                datas.extend(pickle.loads(blobs[off: off + int(n)].tobytes()))
+            off += int(n)
+        os.makedirs(cfg.out_folder, exist_ok=True)
+        path = os.path.join(cfg.out_folder, f"rplot_{cfg.file_id}.pdf")
+        render_site_pages(path, datas, cfg)
+    gather(np.ones(1, np.int32))        # plot visible before returning
+
+
 def distributed_detect_sharded(cfg, gather=None, alltoall=None,
                                process_count: Optional[int] = None,
                                process_index: Optional[int] = None):
@@ -340,13 +465,6 @@ def distributed_detect_sharded(cfg, gather=None, alltoall=None,
     from nanomod_tpu.rank.ranking import sort_sites
     from nanomod_tpu.utils.observe import stage
 
-    if cfg.rank.region_rank_by_st:
-        raise ValueError("region-rank mode needs the full table on one "
-                         "host; use merge_mode='union'")
-    if cfg.make_plots:
-        print("Warning: top-site plots need full pools and are skipped "
-              "under merge_mode='sharded' (use 'union' for plots)")
-
     pc = jax.process_count() if process_count is None else process_count
     pid = jax.process_index() if process_index is None else process_index
     gather = gather or _multihost_gather
@@ -359,6 +477,13 @@ def distributed_detect_sharded(cfg, gather=None, alltoall=None,
                                      files=files))
 
     halo = max(int(cfg.stats.neighbor_pvalues), 1)
+    if cfg.rank.region_rank_by_st:
+        # windows of half-width window+1 centered on owned coordinates, and
+        # every member row needs its own ±nb combination neighbors valid
+        halo = max(halo, cfg.rank.window + 1 + int(cfg.stats.neighbor_pvalues))
+    if cfg.make_plots:
+        # plot pages span ±window around owned sites, with ranking p-values
+        halo = max(halo, cfg.rank.window + int(cfg.stats.neighbor_pvalues))
     plan = plan_position_shards(partials, halo, gather=gather,
                                 process_count=pc, process_index=pid)
     with stage("exchange", unit="observations") as s:
@@ -388,9 +513,16 @@ def distributed_detect_sharded(cfg, gather=None, alltoall=None,
     offsets = {key: int(own_mat[:pid, i].sum()) - int(n_prefix[i])
                for key, i in gid.items()}
 
-    table, _ = detect_from_pools(own1, own2, cfg, row_offsets=offsets)
+    # rank/plot machinery inside detect_from_pools is bypassed here (the
+    # global rank is merged from per-host candidates below), so run it in
+    # plain per-site mode on the halo-padded pools
+    full_table, _ = detect_from_pools(
+        own1, own2, replace(cfg, rank=replace(cfg.rank,
+                                              region_rank_by_st=0)),
+        row_offsets=offsets)
 
     # trim the halo: keep rows whose coordinate this host owns
+    table = full_table
     if len(table):
         kmap = np.array([gid[k] for k in table.keys], dtype=np.int64)
         c = plan.coord(kmap[table.group_ids], table.positions)
@@ -409,7 +541,12 @@ def distributed_detect_sharded(cfg, gather=None, alltoall=None,
                 _concat_parts(cfg, pc, "_meanstd.cvs")
         gather(np.ones(1, np.int32))          # final file visible to all
 
-    sites = _global_top_sites(table, order, plan, cfg, gather)
+    if cfg.rank.region_rank_by_st:
+        sites = _global_region_sites(full_table, table, plan, cfg, gather)
+    else:
+        sites = _global_top_sites(table, order, plan, cfg, gather)
+    if cfg.make_plots:
+        _sharded_plots(full_table, sites, own1, own2, plan, cfg, gather, pid)
     return table, order, sites
 
 

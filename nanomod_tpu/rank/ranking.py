@@ -137,21 +137,16 @@ def top_sites(
     return out
 
 
-def region_rank(table: SignTable, stat_cfg: StatConfig, rank_cfg: RankConfig):
-    """Region-window ranking mode (RegionRankbyST=1, ref myDetect.py:463-516).
+def region_candidates(table: SignTable, stat_cfg: StatConfig,
+                      rank_cfg: RankConfig, spans=None):
+    """Score every complete region window of the table.
 
-    Fixed windows of full width 2*(window+1)+1 slide by window+1 (or 1 when
-    overlapping); each window is ranked by the percentile-th smallest p in
-    it, tie-broken by the center-distance of the window minimum.  Returns
-    indices into the table for the (possibly dedup'd) windows in rank order.
-
-    Fully vectorized: all candidate windows of a (chrom, strand) group are
-    scored as one [K, 2w+1] gather + masked sort (the reference walks every
-    window position in interpreted Python, prohibitive at 9.2M positions).
-    Quirk preserved from the reference (:476): a window touching the
-    group's MAXIMUM position is incomplete (``cp >= pmax`` excludes pmax
-    itself).  ``region_rank_spec`` is the direct port kept as the test
-    oracle.
+    Returns (q, tie, ti, gs, pk) arrays in (group, pk) append order —
+    exactly the reference's windseg build (ref myDetect.py:478-508) before
+    its sort.  ``spans`` optionally overrides each group's (pmin, pmax):
+    the multi-host sharded path passes the GLOBAL span so window-grid
+    alignment and the ``cp >= pmax`` quirk match the single-host run even
+    though this table only holds one coordinate range (+halo).
     """
     w = rank_cfg.window + 1                       # ref :465 window += 1
     offsets = np.arange(-w, w + 1)                # 2w+1 window columns
@@ -169,21 +164,26 @@ def region_rank(table: SignTable, stat_cfg: StatConfig, rank_cfg: RankConfig):
         if len(sel) == 0:
             continue
         gpos = pos[sel]
-        pmin, pmax = int(gpos.min()), int(gpos.max())
-        # dense position -> table-index lookup over the group's span
-        idx_at = np.full(pmax - pmin + 1, -1, dtype=np.int64)
-        idx_at[gpos - pmin] = sel
+        lmin, lmax = int(gpos.min()), int(gpos.max())
+        pmin, pmax = (spans[g] if spans and g in spans else (lmin, lmax))
+        # dense position -> table-index lookup over the LOCAL span
+        idx_at = np.full(lmax - lmin + 1, -1, dtype=np.int64)
+        idx_at[gpos - lmin] = sel
 
-        cand = np.arange(pmin, pmax, movesize, dtype=np.int64)
+        # window centers on the global grid, restricted to local coverage
+        first = pmin + max(0, -(-(lmin - pmin) // movesize)) * movesize
+        cand = np.arange(first, min(pmax, lmax + 1), movesize,
+                         dtype=np.int64)
         if len(cand) == 0:
             continue
         mat_pos = cand[:, None] + offsets[None, :]          # [K, 2w+1]
         inb = (mat_pos >= 0) & (mat_pos < pmax)             # quirk: < pmax
-        ti = idx_at[np.clip(mat_pos - pmin, 0, pmax - pmin)]
-        # mat_pos < pmin would alias into the clip; require in-span too
-        present = inb & (mat_pos >= pmin) & (ti >= 0)
+        ti = idx_at[np.clip(mat_pos - lmin, 0, lmax - lmin)]
+        # mat_pos outside the local span would alias into the clip
+        present = inb & (mat_pos >= lmin) & (mat_pos <= lmax) & (ti >= 0)
         complete = present.all(axis=1)
-        center_ok = idx_at[cand - pmin] >= 0
+        center_ok = idx_at[np.clip(cand - lmin, 0, lmax - lmin)] >= 0
+        center_ok &= (cand >= lmin) & (cand <= lmax)
         ti = np.where(present, ti, 0)
 
         include = present
@@ -211,34 +211,31 @@ def region_rank(table: SignTable, stat_cfg: StatConfig, rank_cfg: RankConfig):
 
         q_all.append(q)
         tie_all.append(tie)
-        ti_all.append(idx_at[cand[keep] - pmin])
+        ti_all.append(idx_at[cand[keep] - lmin])
         g_all.append(np.full(keep.sum(), g, dtype=np.int64))
         pk_all.append(cand[keep])
 
     if not q_all:
-        return np.empty(0, dtype=np.int64)
-    q = np.concatenate(q_all)
-    tie = np.concatenate(tie_all)
-    ti = np.concatenate(ti_all)
-    gs = np.concatenate(g_all)
-    pk = np.concatenate(pk_all)
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, np.float64), z, z, z, z
+    return (np.concatenate(q_all), np.concatenate(tie_all),
+            np.concatenate(ti_all), np.concatenate(g_all),
+            np.concatenate(pk_all))
 
-    # stable sort by (q, tie), preserving (group, pk) append order on ties
-    # like the reference's list.sort (ref :510)
-    order = np.lexsort((tie, q))
-    if not rank_cfg.wind_ovlp:
-        return ti[order]
 
-    # overlap dedup (ref :511-516): keep a window only if no kept window of
-    # the same group lies within w; occupancy bitmaps make each accept O(w)
-    # and each reject O(1)
+def dedup_region_windows(order: np.ndarray, gs: np.ndarray, pk: np.ndarray,
+                         w: int) -> np.ndarray:
+    """Overlap dedup of rank-ordered windows (ref myDetect.py:511-516):
+    keep a window only if no kept window of the same group lies within w.
+    Occupancy bitmaps make each accept O(w) and each reject O(1).  Returns
+    the kept subsequence of `order`."""
     span = {}
     for g in set(gs.tolist()):
-        gsel = pos[np.where(gid == g)[0]]
-        span[g] = (int(gsel.min()), int(gsel.max()))
+        gpk = pk[gs == g]
+        span[g] = (int(gpk.min()), int(gpk.max()))
     occupied = {g: np.zeros(hi - lo + 2 * w + 2, dtype=bool)
                 for g, (lo, hi) in span.items()}
-    ordered = []
+    kept = []
     for oi in order:
         g = int(gs[oi])
         lo, _ = span[g]
@@ -247,8 +244,36 @@ def region_rank(table: SignTable, stat_cfg: StatConfig, rank_cfg: RankConfig):
         if occ[off]:
             continue
         occ[max(off - w + 1, 0): off + w] = True
-        ordered.append(int(ti[oi]))
-    return np.asarray(ordered, dtype=np.int64)
+        kept.append(int(oi))
+    return np.asarray(kept, dtype=np.int64)
+
+
+def region_rank(table: SignTable, stat_cfg: StatConfig, rank_cfg: RankConfig):
+    """Region-window ranking mode (RegionRankbyST=1, ref myDetect.py:463-516).
+
+    Fixed windows of full width 2*(window+1)+1 slide by window+1 (or 1 when
+    overlapping); each window is ranked by the percentile-th smallest p in
+    it, tie-broken by the center-distance of the window minimum.  Returns
+    indices into the table for the (possibly dedup'd) windows in rank order.
+
+    Fully vectorized: all candidate windows of a (chrom, strand) group are
+    scored as one [K, 2w+1] gather + masked sort (the reference walks every
+    window position in interpreted Python, prohibitive at 9.2M positions).
+    Quirk preserved from the reference (:476): a window touching the
+    group's MAXIMUM position is incomplete (``cp >= pmax`` excludes pmax
+    itself).  ``region_rank_spec`` is the direct port kept as the test
+    oracle.
+    """
+    q, tie, ti, gs, pk = region_candidates(table, stat_cfg, rank_cfg)
+    if not len(q):
+        return np.empty(0, dtype=np.int64)
+    # stable sort by (q, tie), preserving (group, pk) append order on ties
+    # like the reference's list.sort (ref :510)
+    order = np.lexsort((tie, q))
+    if not rank_cfg.wind_ovlp:
+        return ti[order]
+    kept = dedup_region_windows(order, gs, pk, rank_cfg.window + 1)
+    return ti[kept]
 
 
 def region_rank_spec(table: SignTable, stat_cfg: StatConfig,

@@ -155,14 +155,67 @@ def test_sharded_detect_mstd_parts_concatenate(dataset, tmp_path):
         assert f.read() == want
 
 
-def test_region_rank_requires_union(dataset, tmp_path):
-    from nanomod_tpu.config import replace
+@pytest.mark.parametrize("wind_ovlp", [0, 1])
+@pytest.mark.parametrize("n_hosts", [2, 3])
+def test_sharded_region_rank_matches_single_host(dataset, tmp_path, n_hosts,
+                                                 wind_ovlp):
+    """RegionRankbyST=1 under the sharded merge: global window grid, the
+    cp>=pmax quirk, (q, tie) ordering, overlap dedup and the top-N walk all
+    must reproduce the single-host region ranking exactly."""
+    from nanomod_tpu.config import RankConfig, replace
+    from nanomod_tpu.detect import run_detect
     from nanomod_tpu.parallel.shardmerge import distributed_detect_sharded
 
-    cfg = replace(_cfg(dataset, str(tmp_path)),
-                  **{"rank.region_rank_by_st": True})
-    with pytest.raises(ValueError, match="union"):
-        distributed_detect_sharded(cfg, process_count=2, process_index=0)
+    def cfg(out):
+        base = _cfg(dataset, out)
+        return replace(base, rank=RankConfig(
+            window=4, region_rank_by_st=1, wind_ovlp=wind_ovlp))
+
+    single_out = os.path.join(str(tmp_path), "single")
+    _, _, want_sites = run_detect(cfg(single_out))
+    assert len(want_sites) > 2
+
+    shard_out = os.path.join(str(tmp_path), f"sharded{n_hosts}")
+    res = run_ranks(n_hosts, lambda rank, g, a: distributed_detect_sharded(
+        cfg(shard_out), gather=g, alltoall=a,
+        process_count=n_hosts, process_index=rank))
+    for _, _, sites in res:
+        assert [(s.chrom, s.strand, s.pos, s.base) for s in sites] == \
+            [(s.chrom, s.strand, s.pos, s.base) for s in want_sites]
+    # the sign_test file itself is region-mode-independent and still
+    # byte-matches
+    with open(os.path.join(single_out, "sm_sign_test.txt"), "rb") as f:
+        want = f.read()
+    with open(os.path.join(shard_out, "sm_sign_test.txt"), "rb") as f:
+        assert f.read() == want
+
+
+def _pdf_pages(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    return data.count(b"/Type /Page") - data.count(b"/Type /Pages")
+
+
+def test_sharded_plots_match_single_host(dataset, tmp_path):
+    """make_plots under the sharded merge: owners collect their sites'
+    window payloads, rank 0 renders the single reference-named PDF with
+    the same pages as the single-host run."""
+    from nanomod_tpu.config import replace
+    from nanomod_tpu.detect import run_detect
+    from nanomod_tpu.parallel.shardmerge import distributed_detect_sharded
+
+    single_out = os.path.join(str(tmp_path), "single")
+    run_detect(replace(_cfg(dataset, single_out), make_plots=True))
+    want_pdf = os.path.join(single_out, "rplot_sm.pdf")
+    assert os.path.exists(want_pdf) and _pdf_pages(want_pdf) > 0
+
+    shard_out = os.path.join(str(tmp_path), "sharded")
+    run_ranks(2, lambda rank, g, a: distributed_detect_sharded(
+        replace(_cfg(dataset, shard_out), make_plots=True), gather=g,
+        alltoall=a, process_count=2, process_index=rank))
+    got_pdf = os.path.join(shard_out, "rplot_sm.pdf")
+    assert os.path.exists(got_pdf)
+    assert _pdf_pages(got_pdf) == _pdf_pages(want_pdf)
 
 
 def test_exchange_transfer_volume_10m_observations():
