@@ -167,7 +167,10 @@ def write_corrected_events(
 
     Idempotent-replace semantics and attr set mirror save_annotation
     (ref myRefBaseSignalAnnotation.py:689-742).  The datasets are gzip'd
-    like the reference's; pass ``precompressed`` (from
+    like the reference's (exception: a ZERO-length dataset is stored
+    uncompressed — the reference gzips those too, but a 0-row gzip chunk
+    is unrepresentable in the direct-chunk path and readers cannot tell
+    the difference); pass ``precompressed`` (from
     compress_corrected_arrays, typically built on a worker thread) to keep
     the deflate out of the serialized h5py section — the HDF5 library is
     single-threaded behind a global lock, so whatever runs under it bounds

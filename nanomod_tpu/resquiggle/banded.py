@@ -150,11 +150,12 @@ def pack_outputs(tb, best, best_i, best_k):
     round trip — on a tunneled chip each fetch pays ~25-130 ms of link
     latency, so four separate fetches (tb/best/best_i/best_k) cost ~4x a
     packed one.  Row layout: best(i32) | best_i(i32) | best_k(i32) | tb
-    bytes.  best is stored as int32 (scores are integer-valued: integral
-    match/mismatch/gap costs)."""
+    bytes.  best is rounded to int32 — exact for integral match/mismatch/
+    gap configs, and a float score config only shifts the min_score filter
+    by <0.5 instead of truncating toward zero."""
     bsz = tb.shape[0]
     extra = jnp.stack(
-        [best.astype(jnp.int32), best_i.astype(jnp.int32),
+        [jnp.round(best).astype(jnp.int32), best_i.astype(jnp.int32),
          best_k.astype(jnp.int32)], axis=1)
     return jnp.concatenate(
         [jax.lax.bitcast_convert_type(extra, jnp.uint8).reshape(bsz, 12),

@@ -186,3 +186,49 @@ def test_pallas_dp_matches_scan():
     r_pal = [np.asarray(x) for x in banded_sw_pallas(read, ref, lens)]
     for name, a, b in zip(["tb", "best", "bi", "bk"], r_ref, r_pal):
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_pack_unpack_outputs_round_trip():
+    """pack_outputs/unpack_outputs must be an exact round trip in all three
+    tb payload modes (plain / nibble-packed / device-walk codes) — this
+    pins the XLA bitcast byte order against host endianness (ADVICE r3)."""
+    from nanomod_tpu.resquiggle.banded import (pack_outputs, pack_tb,
+                                               unpack_outputs, walk_device)
+
+    B, M, W = 4, 32, 8
+    rng = np.random.default_rng(3)
+    tb = rng.integers(0, 16, (B, M, W)).astype(np.uint8)
+    best = np.array([-7, 0, 123456, 2**31 - 1], np.int32)
+    bi = rng.integers(0, M, B).astype(np.int32)
+    bk = rng.integers(0, W, B).astype(np.int32)
+
+    for mode_tb, shape in (
+        (tb, (M, W)),                                  # plain
+        (np.asarray(pack_tb(tb)), (M, W // 2)),        # nibble-packed
+        (rng.integers(0, 4, (B, 2 * M + W)).astype(np.uint8),
+         (2 * M + W,)),                                # walk codes
+    ):
+        packed = np.asarray(pack_outputs(mode_tb, best, bi, bk))
+        tb2, b2, i2, k2 = unpack_outputs(packed, shape)
+        np.testing.assert_array_equal(tb2, mode_tb)
+        np.testing.assert_array_equal(b2, best)
+        np.testing.assert_array_equal(i2, bi)
+        np.testing.assert_array_equal(k2, bk)
+    # nibble pack itself inverts
+    lo = np.asarray(pack_tb(tb)) & 0x0F
+    hi = np.asarray(pack_tb(tb)) >> 4
+    np.testing.assert_array_equal(lo, tb[..., 0::2])
+    np.testing.assert_array_equal(hi, tb[..., 1::2])
+
+
+def test_pack_outputs_float_score_rounds():
+    """A float-valued score config must round (not truncate toward zero)
+    into the packed int32 slot (ADVICE r3)."""
+    from nanomod_tpu.resquiggle.banded import pack_outputs, unpack_outputs
+
+    tb = np.zeros((2, 4, 4), np.uint8)
+    best = np.array([41.6, -3.4], np.float32)
+    z = np.zeros(2, np.int32)
+    _, b2, _, _ = unpack_outputs(np.asarray(pack_outputs(tb, best, z, z)),
+                                 (4, 4))
+    np.testing.assert_array_equal(b2, [42, -3])
