@@ -93,6 +93,81 @@ def load_reference_detect(tmpdir: str):
     return myDetect
 
 
+def load_reference_annotate(tmpdir: str):
+    """Translate + import the reference's resquiggle/annotation module for
+    driving its pure-algorithm correction core (fix_repeat_del,
+    group_indel, annotate1/find_sp) directly — the alignment/subprocess
+    parts are never called."""
+    moddir = os.path.join(tmpdir, "refmods_ann")
+    os.makedirs(moddir, exist_ok=True)
+    for name in ("myCom.py", "myFast5.py", "myRefBaseSignalAnnotation.py"):
+        _translate(os.path.join(REF_SCRIPTS, name),
+                   os.path.join(moddir, name))
+    _stub_rpy2()
+    sys.path.insert(0, moddir)
+    try:
+        for name in ("myCom", "myFast5", "myRefBaseSignalAnnotation"):
+            sys.modules.pop(name, None)
+        import myRefBaseSignalAnnotation  # noqa: F401
+    finally:
+        sys.path.remove(moddir)
+    return myRefBaseSignalAnnotation
+
+
+def run_reference_annotate(refmod, refb, readb, ev_start, ev_len, strand,
+                           raw, min_num_signal=4, reseg_wind=4):
+    """Drive the reference's correction core exactly as handle_record does
+    (ref myRefBaseSignalAnnotation.py:631-671): fix_repeat_del ->
+    group_indel -> annotate1.
+
+    Inputs are genome-forward (this engine's convention); m_event is
+    converted to the reference's READ order ('-' strands negative-index it,
+    ref :1098-1105).  base_map_info uses '<U1' (not the reference's 'S1'):
+    the translated py3 code compares elements against str literals, and
+    py2's bytes==str is py3's str==str.  Returns (annotate_info dict,
+    signalnum dict, mutated readbase)."""
+    import numpy as np
+
+    n = len(refb)
+    base_map_info = np.zeros(
+        n, dtype=[("refbase", "<U1"), ("readbase", "<U1")])
+    base_map_info["refbase"] = refb
+    base_map_info["readbase"] = readb
+    g_start = np.asarray(ev_start, np.uint64)
+    g_len = np.asarray(ev_len, np.uint64)
+    if strand == "-":
+        g_start, g_len = g_start[::-1], g_len[::-1]
+    # model_state as '<U5' (not the on-disk 'S5'): annotate1 has an ungated
+    # debug identity check on model_state[...][2] (ref :782,802) whose
+    # py2 bytes==str semantics only survive translation with str elements.
+    # Center each k-mer on the event's read-space base so the check passes.
+    rb_f = np.asarray(readb)[np.isin(np.asarray(readb),
+                                     list("ACGTacgtNn"))]
+    if strand == "-":
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+        read_bases = [comp.get(b.upper(), "N") for b in rb_f[::-1]]
+    else:
+        read_bases = list(rb_f)
+    m_event = np.zeros(len(g_start), dtype=[
+        ("mean", "<f4"), ("stdv", "<f4"), ("start", "<u8"),
+        ("length", "<u8"), ("model_state", "<U5")])
+    m_event["start"] = g_start
+    m_event["length"] = g_len
+    m_event["model_state"] = ["NN" + b + "NN" for b in read_bases]
+
+    moptions = {"outLevel": 2, "MinNumSignal": min_num_signal,
+                "Resegment_signal_wind": reseg_wind}
+    sp_param = {"f5status": ""}
+    indel_pos = refmod.fix_repeat_del(base_map_info, moptions, sp_param,
+                                      "oracle.fast5")
+    group_indel_pos = refmod.group_indel(indel_pos, m_event, base_map_info,
+                                         strand, moptions, sp_param)
+    ann, signalnum = refmod.annotate1(
+        group_indel_pos, m_event, base_map_info, strand,
+        np.asarray(raw, np.float64), "oracle.fast5", moptions, sp_param)
+    return dict(ann), dict(signalnum), base_map_info["readbase"].copy()
+
+
 def default_moptions(out_folder: str, file_id: str = "ref", **over):
     """The moptions fields detect's statistical path reads, at the CLI
     defaults (ref bin/NanoMod.py:40-97,344-366)."""

@@ -137,3 +137,56 @@ def test_reference_ranking_matches(ref_detect, tmp_path):
     ours = top_sites(table, order, cfg.stats, cfg.rank, top_n=1)[0]
     assert (ref_top[0], ref_top[1], ref_top[2]) == \
         (ours.chrom, ours.strand, ours.pos)
+
+
+# ---------------------------------------------------------------------------
+# Annotate correction core vs the reference's own fix_repeat_del /
+# group_indel / annotate1 / find_sp (BASELINE config 3: "validated against
+# reference event-to-base assignments")
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_annotate(tmp_path_factory):
+    from reference_oracle import load_reference_annotate
+    return load_reference_annotate(str(tmp_path_factory.mktemp("refann")))
+
+
+@pytest.mark.parametrize("strand", ["+", "-"])
+@pytest.mark.parametrize("seed", [0, 1, 2, 5, 11])
+def test_annotate_core_matches_reference_code(ref_annotate, strand, seed):
+    from reference_oracle import run_reference_annotate
+    from test_native import _random_read
+    from nanomod_tpu.resquiggle.annotate import (Columns, GenomeEvents,
+                                                 annotate_read,
+                                                 group_indels,
+                                                 mark_repeat_indels)
+
+    rng = np.random.default_rng(seed)
+    refb, readb, ev_start, ev_len, raw = _random_read(rng, strand=strand)
+
+    ref_ann, ref_hist, ref_readb = run_reference_annotate(
+        ref_annotate, refb.copy(), readb.copy(), ev_start, ev_len, strand,
+        raw)
+
+    cols = Columns(refb.copy(), readb.copy())
+    indel_pos = mark_repeat_indels(cols)
+    events = GenomeEvents(ev_start, ev_len, strand)
+    groups = group_indels(indel_pos, events, cols, min_num_signal=4,
+                          more_signal_perc=0.3)
+    ours_ann, ours_hist = annotate_read(cols, events, raw, groups,
+                                        resegment_signal_wind=4,
+                                        min_num_signal=4)
+
+    np.testing.assert_array_equal(cols.readbase, ref_readb,
+                                  err_msg="'~' repeat marking differs")
+    assert dict(ours_hist) == ref_hist, "resegment-window histogram differs"
+
+    ours_full = {k for k, v in ours_ann.items() if len(v) >= 3}
+    ref_full = {k for k, v in ref_ann.items() if len(v) >= 3}
+    assert ours_full == ref_full, "annotated column sets differ"
+    for k in sorted(ref_full):
+        _, m_r, s_r, st_r, ln_r = ref_ann[k]
+        _, m_o, s_o, st_o, ln_o = ours_ann[k]
+        assert (st_o, ln_o) == (int(st_r), int(ln_r)), f"col {k} raw span"
+        assert m_o == pytest.approx(float(m_r), abs=1e-9), f"col {k} mean"
+        assert s_o == pytest.approx(float(s_r), abs=1e-9), f"col {k} std"
