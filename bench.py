@@ -189,6 +189,13 @@ def main():
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
 
+    if os.environ.get("BENCH_ONLY_ANNOTATE"):
+        # dev knob: the battery warmup compile costs ~9 min on a cold
+        # tunneled chip (the axon plugin cannot reuse the persistent
+        # compilation cache); annotate-only iterations skip it
+        print(json.dumps({"secondary": bench_annotate()}))
+        return
+
     p_total = int(os.environ.get("BENCH_POSITIONS", 200_000))
     cov = int(os.environ.get("BENCH_COVERAGE", 50))
     rng = np.random.default_rng(0)

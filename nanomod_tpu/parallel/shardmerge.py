@@ -220,6 +220,13 @@ def exchange_group(plan: ShardPlan, pools: Dict, alltoall=None, gather=None,
 
     count_mat = np.asarray(
         gather(send_counts.astype(np.int32))).reshape(pc, pc)
+    # record the off-host bytes this rank actually routes (the padded
+    # transport moves chunk-sized rows; this is the useful payload the
+    # 1x-per-byte claim is about) — surfaces in metrics as dcn_route
+    from nanomod_tpu.utils.observe import stage as _stage
+    with _stage("dcn_route", unit="bytes") as _s:
+        _s.add(int(sum(int(send_counts[d]) for d in range(pc)
+                       if d != pid)) * _REC_BYTES)
     chunk = int(count_mat.max(initial=1))
     send = np.zeros((pc, chunk, _REC_BYTES), dtype=np.uint8)
     rec = _pack_records(kid[idx_s], pos[idx_s], val[idx_s], cod[idx_s])

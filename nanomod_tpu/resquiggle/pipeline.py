@@ -127,9 +127,11 @@ def dispatch_dp(reads: List[PreparedRead], fasta: FastaIndex,
     if not reads:
         return None
     from nanomod_tpu.platform import pallas_supported
-    use_pallas = cfg.use_pallas_dp and pallas_supported()
     w = cfg.band_width
     m = _length_bucket(max(len(r.fwd_seq) for r in reads))
+    # per-bucket kernel selection: lax.scan short reads, Pallas long ones
+    # (measured crossover at 4 kb — platform.py)
+    use_pallas = cfg.use_pallas_dp and pallas_supported(m)
     bsz = max(len(reads), pad_bsz)
     if use_pallas:
         bsz = ((bsz + 7) // 8) * 8         # pallas kernel: 8 reads/program
