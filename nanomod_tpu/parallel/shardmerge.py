@@ -42,6 +42,9 @@ from nanomod_tpu.parallel.dist import (_decode_keys, _encode_keys,
 
 _REC_BYTES = 13          # kid i32 | pos i32 | val f32 | base code i8
 _I32_MAX = 2 ** 31 - 1
+# records per all-to-all slice: bounds the padded transport transient to
+# ~pc x 52 MB per end (overridable for tests/tuning)
+_SLICE_RECORDS = int(os.environ.get("NANOMOD_EXCHANGE_SLICE", 4_000_000))
 
 
 @dataclass
@@ -227,16 +230,32 @@ def exchange_group(plan: ShardPlan, pools: Dict, alltoall=None, gather=None,
     with _stage("dcn_route", unit="bytes") as _s:
         _s.add(int(sum(int(send_counts[d]) for d in range(pc)
                        if d != pid)) * _REC_BYTES)
-    chunk = int(count_mat.max(initial=1))
-    send = np.zeros((pc, chunk, _REC_BYTES), dtype=np.uint8)
     rec = _pack_records(kid[idx_s], pos[idx_s], val[idx_s], cod[idx_s])
     starts = np.concatenate([[0], np.cumsum(send_counts)])
-    for d in range(pc):
-        n = int(send_counts[d])
-        send[d, :n] = rec[starts[d]: starts[d] + n]
 
-    recv = np.asarray(alltoall(send, send_counts))
-    rows = [recv[s, : int(count_mat[s, pid])] for s in range(pc)]
+    # sliced all-to-all: the padded transport buffer is pc x chunk x 13
+    # bytes on BOTH ends — at 100M+ routed observations a single exchange
+    # would transiently hold >1 GB/host, so the record space is cut into
+    # fixed-chunk slices (one jit shape) and exchanged in rounds
+    max_pair = int(count_mat.max(initial=1))
+    n_slices = max(1, -(-max_pair // _SLICE_RECORDS))
+    chunk = -(-max_pair // n_slices)
+    parts = [[] for _ in range(pc)]       # received rows per SOURCE
+    for sl in range(n_slices):
+        lo = sl * chunk
+        send = np.zeros((pc, chunk, _REC_BYTES), dtype=np.uint8)
+        slice_counts = np.zeros(pc, np.int64)
+        for d in range(pc):
+            n = int(min(max(int(send_counts[d]) - lo, 0), chunk))
+            slice_counts[d] = n
+            if n:
+                send[d, :n] = rec[starts[d] + lo: starts[d] + lo + n]
+        recv = np.asarray(alltoall(send, slice_counts))
+        for src in range(pc):
+            n = int(min(max(int(count_mat[src, pid]) - lo, 0), chunk))
+            if n:
+                parts[src].append(recv[src, :n])
+    rows = [np.concatenate(p) for p in parts if p]
     r_kid, r_pos, r_val, r_cod = _unpack_records(
         np.concatenate(rows) if rows else np.empty((0, _REC_BYTES), np.uint8))
 

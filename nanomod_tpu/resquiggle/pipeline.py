@@ -411,16 +411,13 @@ def annotate_one(read: PreparedRead, ops, win_start: int, fasta: FastaIndex,
     return pay, err
 
 
-def _seed_and_wrap(path: str, read_id: str, seq: str, ev_start, ev_length,
-                   norm_signal, seed_index: SeedIndex,
-                   require_seed: bool = True):
-    """Seed a prepared read and build the PreparedRead (shared by the
-    native and Python prepare paths).
+def _wrap_with_hit(path, read_id, seq, ev_start, ev_length, norm_signal,
+                   hit, require_seed: bool = True):
+    """Build the PreparedRead for a seeded (or unseeded) read.
 
     require_seed=False (external-aligner mode): an unseeded read is kept
     with '+' orientation — the SAM record decides chrom/strand later
     (resquiggle/external.py updates the PreparedRead in place)."""
-    hit = seed_index.best_band(seq)
     if hit is None or hit.votes < 3:
         if require_seed:
             return None, "Not in alignment sam"
@@ -436,6 +433,16 @@ def _seed_and_wrap(path: str, read_id: str, seq: str, ev_start, ev_length,
         strand=hit.strand, diag=hit.diag, events_start=ev_start,
         events_length=ev_length, norm_signal=norm_signal,
     ), ""
+
+
+def _seed_and_wrap(path: str, read_id: str, seq: str, ev_start, ev_length,
+                   norm_signal, seed_index: SeedIndex,
+                   require_seed: bool = True):
+    """Seed one prepared read and build the PreparedRead (Python path; the
+    native prepare seeds whole batches via SeedIndex.best_bands_native)."""
+    return _wrap_with_hit(path, read_id, seq, ev_start, ev_length,
+                          norm_signal, seed_index.best_band(seq),
+                          require_seed=require_seed)
 
 
 def prepare_batch(paths: List[str], cfg: AnnotateConfig,
@@ -474,20 +481,28 @@ def prepare_batch(paths: List[str], cfg: AnnotateConfig,
         del n_total  # stage counts successfully prepared reads, not files
         if native_res is not None:
             fallback = []
+            good = []
             for p, r in zip(paths, native_res):
                 if r is None:                     # unclassified: retry h5py
                     fallback.append(p)
                 elif isinstance(r, str):
                     errors[r].append(p)
                 else:
-                    rd, err = _seed_and_wrap(
-                        p, r.read_id, r.seq, r.ev_start, r.ev_length,
-                        r.norm_signal, seed_index,
-                        require_seed=(cfg.align == "dp"))
-                    if rd is None:
-                        errors[err].append(p)
-                    else:
-                        prepared.append(rd)
+                    good.append((p, r))
+            # batch-seed on the C++ thread pool (per-read numpy seeding
+            # costs ~0.43 ms/read in call overhead)
+            hits = seed_index.best_bands_native(
+                [r.seq for _, r in good], nthreads=workers)
+            for i, (p, r) in enumerate(good):
+                hit = (hits[i] if hits is not None
+                       else seed_index.best_band(r.seq))
+                rd, err = _wrap_with_hit(
+                    p, r.read_id, r.seq, r.ev_start, r.ev_length,
+                    r.norm_signal, hit, require_seed=(cfg.align == "dp"))
+                if rd is None:
+                    errors[err].append(p)
+                else:
+                    prepared.append(rd)
             paths = fallback
         if paths:
             with ThreadPoolExecutor(max_workers=workers) as ex:

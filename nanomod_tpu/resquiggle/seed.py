@@ -117,6 +117,51 @@ class SeedIndex:
         refs = self.sorted_pos[flat]
         return refs - np.repeat(valid[sel], cnt)
 
+    def best_bands_native(self, seqs, band_slack: int = 48,
+                          nthreads: int = 4):
+        """Batch best_band on the C++ thread pool (native/seed_core.cpp);
+        returns [SeedHit|None] per sequence, or None when the native lib is
+        unavailable (callers fall back to per-read best_band)."""
+        import ctypes
+
+        from nanomod_tpu.native.build import load_native
+        lib = load_native("seed_core")
+        if lib is None or not seqs:
+            return None
+        n = len(seqs)
+        cat = "".join(seqs).encode()
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum([len(s) for s in seqs], out=offs[1:])
+        strand = np.empty(n, "S1")
+        center = np.empty(n, np.int64)
+        votes = np.empty(n, np.int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.nm_seed_batch(
+            ctypes.c_char_p(cat), offs.ctypes.data_as(i64p),
+            ctypes.c_int64(n),
+            self.sorted_codes.ctypes.data_as(i64p),
+            self.sorted_pos.ctypes.data_as(i64p),
+            ctypes.c_int64(len(self.sorted_codes)),
+            ctypes.c_int(self.k), ctypes.c_int(self.max_hits),
+            ctypes.c_int(self.TARGET_SAMPLES), ctypes.c_int(band_slack),
+            ctypes.c_int(nthreads),
+            strand.ctypes.data_as(ctypes.c_char_p),
+            center.ctypes.data_as(i64p),
+            votes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        out = []
+        for i in range(n):
+            if strand[i] == b"?":
+                out.append(None)
+                continue
+            chrom, off = self._chrom_of(max(int(center[i]), 0))
+            if chrom is None:
+                out.append(None)
+                continue
+            out.append(SeedHit(chrom=chrom, strand=strand[i].decode(),
+                               diag=int(center[i]) - off,
+                               votes=int(votes[i])))
+        return out
+
     def best_band(self, read_seq: str, band_slack: int = 48) -> Optional[SeedHit]:
         """Best (chrom, strand, diagonal) by clustered seed votes.
 

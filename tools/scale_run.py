@@ -52,7 +52,11 @@ def gen_group(folder, genome_arr, levels, rng, planted=None):
     comp = np.frombuffer(b"TGCA", np.uint8)[
         np.searchsorted(np.frombuffer(b"ACGT", np.uint8), genome_arr)]
     for i in range(N_READS):
-        strand = "+-"[i % 2]
+        # random strand (NOT i%2: round-robin file sharding would then give
+        # each of 2 hosts a single strand — exactly the strand-concatenated
+        # coordinate ranges — making the multi-host routing measurement
+        # degenerate)
+        strand = "+-"[int(rng.integers(2))]
         start = int(rng.integers(0, GENOME_LEN - READ_LEN + 1))
         gpos = np.arange(start, start + READ_LEN)
         means = levels[i % 2][gpos] + rng.normal(0.0, 0.3, READ_LEN)
