@@ -232,3 +232,39 @@ def test_pack_outputs_float_score_rounds():
     _, b2, _, _ = unpack_outputs(np.asarray(pack_outputs(tb, best, z, z)),
                                  (4, 4))
     np.testing.assert_array_equal(b2, [42, -3])
+
+
+def test_native_seed_batch_matches_python():
+    """best_bands_native (seed_core.cpp) must agree with the per-read
+    Python best_band on strand/chrom and land in the same DP band."""
+    from nanomod_tpu.io.fasta import revcomp
+    from nanomod_tpu.native.build import native_available
+    from nanomod_tpu.resquiggle.seed import SeedIndex
+
+    if not native_available("seed_core"):
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(7)
+    genome = "".join(rng.choice(list("ACGT"), 3000))
+    idx = SeedIndex({"g": genome}, k=12)
+    seqs = []
+    for i in range(40):
+        lo = int(rng.integers(0, 2000))
+        frag = list(genome[lo: lo + 800])
+        mut = rng.random(len(frag)) < 0.03
+        for j in np.flatnonzero(mut):
+            frag[j] = str(rng.choice(list("ACGT")))
+        s = "".join(frag)
+        seqs.append(s if i % 2 == 0 else revcomp(s))
+    seqs.append("N" * 100)            # all-ambiguous: must not seed
+    seqs.append("ACGT")               # shorter than k: must not seed
+    hits_n = idx.best_bands_native(seqs, nthreads=2)
+    assert hits_n is not None
+    for s, hn in zip(seqs, hits_n):
+        hp = idx.best_band(s)
+        if hp is None or hp.votes < 3:
+            assert hn is None or hn.votes < 3
+            continue
+        assert hn is not None
+        assert (hn.chrom, hn.strand) == (hp.chrom, hp.strand)
+        assert abs(hn.diag - hp.diag) <= 24   # same band (slack 48)
+    assert hits_n[-1] is None and hits_n[-2] is None
