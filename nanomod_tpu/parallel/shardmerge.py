@@ -134,7 +134,9 @@ def _unpack_records(rec: np.ndarray):
     kid = rec[:, 0:4].copy().view("<i4").ravel()
     pos = rec[:, 4:8].copy().view("<i4").ravel().astype(np.int64)
     val = rec[:, 8:12].copy().view("<f4").ravel()
-    cod = rec[:, 12].view(np.int8)
+    # copy, not view: a view would pin the whole 13-byte-stride record
+    # buffer in memory through its base reference
+    cod = rec[:, 12].astype(np.int8)
     return kid, pos, val, cod
 
 
@@ -178,6 +180,10 @@ def exchange_group(plan: ShardPlan, pools: Dict, alltoall=None, gather=None,
     An observation at coordinate c is sent to owner(c), plus the left
     (right) neighbor when c is within halo of the range cut, so each
     host's pools cover [cut[pid]-halo, cut[pid+1]+halo) completely.
+
+    NOTE: `pools` is CONSUMED — the dict is cleared once its observations
+    are flattened, so the pre-exchange dense pools don't stay resident
+    alongside the routed copy (they are ~1 GB/host at 100M observations).
     """
     from nanomod_tpu.accum.pools import (_BASE_TO_CODE, pack_observations)
 
@@ -188,7 +194,7 @@ def exchange_group(plan: ShardPlan, pools: Dict, alltoall=None, gather=None,
 
     kid_l, pos_l, val_l, cod_l = [], [], [], []
     for key in sorted(pools):
-        pp = pools[key]
+        pp = pools.pop(key)
         cnt = pp.counts
         mask = np.arange(pp.values.shape[1])[None, :] < cnt[:, None]
         pos_l.append(np.repeat(pp.positions, cnt))
@@ -197,10 +203,13 @@ def exchange_group(plan: ShardPlan, pools: Dict, alltoall=None, gather=None,
             np.frombuffer(pp.base.astype("S1").tobytes(), dtype=np.uint8)]
         cod_l.append(np.repeat(codes, cnt))
         kid_l.append(np.full(int(cnt.sum()), gid[key], np.int32))
+        del pp, mask
 
     def cat(parts, dtype):
-        return (np.concatenate(parts).astype(dtype) if parts
-                else np.empty(0, dtype))
+        out = (np.concatenate(parts).astype(dtype) if parts
+               else np.empty(0, dtype))
+        parts.clear()
+        return out
 
     kid = cat(kid_l, np.int32)
     pos = cat(pos_l, np.int64)
@@ -231,6 +240,7 @@ def exchange_group(plan: ShardPlan, pools: Dict, alltoall=None, gather=None,
         _s.add(int(sum(int(send_counts[d]) for d in range(pc)
                        if d != pid)) * _REC_BYTES)
     rec = _pack_records(kid[idx_s], pos[idx_s], val[idx_s], cod[idx_s])
+    del kid, pos, val, cod, idx_s, dest, dest_s, by_dest, c, owner
     starts = np.concatenate([[0], np.cumsum(send_counts)])
 
     # sliced all-to-all: the padded transport buffer is pc x chunk x 13
@@ -254,10 +264,19 @@ def exchange_group(plan: ShardPlan, pools: Dict, alltoall=None, gather=None,
         for src in range(pc):
             n = int(min(max(int(count_mat[src, pid]) - lo, 0), chunk))
             if n:
-                parts[src].append(recv[src, :n])
-    rows = [np.concatenate(p) for p in parts if p]
-    r_kid, r_pos, r_val, r_cod = _unpack_records(
-        np.concatenate(rows) if rows else np.empty((0, _REC_BYTES), np.uint8))
+                parts[src].append(recv[src, :n].copy())
+        del send, recv
+    del rec
+    n_recv = int(count_mat[:, pid].sum())
+    flat = np.empty((n_recv, _REC_BYTES), np.uint8)
+    off = 0
+    for p in parts:
+        for blk in p:
+            flat[off: off + len(blk)] = blk
+            off += len(blk)
+        p.clear()
+    r_kid, r_pos, r_val, r_cod = _unpack_records(flat)
+    del flat
 
     out = {}
     for k in np.unique(r_kid):

@@ -258,8 +258,10 @@ def test_exchange_transfer_volume_10m_observations():
                                         gather=gather_for(rank),
                                         process_count=n_hosts,
                                         process_index=rank)
+            # exchange_group CONSUMES its pools dict; hand it a shallow
+            # copy so the assertions below can still read the originals
             results[rank] = (plan, exchange_group(
-                plan, partials[rank], alltoall=a2a_for(rank),
+                plan, dict(partials[rank]), alltoall=a2a_for(rank),
                 gather=gather_for(rank)))
         except BaseException as e:
             errors.append(e)
