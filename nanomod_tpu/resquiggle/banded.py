@@ -128,10 +128,12 @@ def banded_sw(read_codes, ref_window_codes, read_len, *,
         jnp.zeros(bsz, jnp.int32),
         jnp.zeros(bsz, jnp.int32),
     )
-    # unroll: the per-step work is only [B, W] lanes, so the scan is
-    # step-overhead-bound; fusing 8 rows per iteration cuts that overhead
+    # measured on the real chip: unrolling this scan does NOT speed it up
+    # (the dispatch+fetch latency of the tunneled link dominates, not scan
+    # step overhead) and the unrolled body inflates compile time — keep it
+    # rolled.  The device WALK scan (walk_device) does benefit from unroll.
     (h, f, best, best_i, best_k), tbs = jax.lax.scan(
-        row_step, init, jnp.arange(m, dtype=jnp.int32), unroll=8
+        row_step, init, jnp.arange(m, dtype=jnp.int32)
     )
     tb = jnp.transpose(tbs, (1, 0, 2))    # [B, M, W]
     return tb, best, best_i, best_k
