@@ -15,6 +15,7 @@
 #include <vector>
 #include <map>
 #include <algorithm>
+#include <thread>
 
 namespace {
 
@@ -304,21 +305,17 @@ void seg_mean_std(const double* v, int64_t lo, int64_t hi,
     *std = round3(std::sqrt(ss / n));
 }
 
-}  // namespace
-
-extern "C" int annotate_core(
-    const char* refbase_in, char* readbase_io, int64_t n_cols,
-    const int64_t* ev_start, const int64_t* ev_length, int64_t n_events,
-    int strand, const double* raw, int64_t raw_len,
-    int min_num_signal, int resegment_signal_wind, double more_signal_perc,
-    // outputs (caller-allocated, length n_cols):
-    double* out_mean, double* out_std,
-    int64_t* out_start, int64_t* out_len, uint8_t* out_valid,
-    // histogram (length 32) of successful resegment windows; index 1 = fallback
-    int64_t* signalnum_hist) {
-    Ctx c{refbase_in, readbase_io, n_cols, ev_start, ev_length, n_events,
-          strand, raw, raw_len, min_num_signal, resegment_signal_wind,
-          more_signal_perc};
+// Core correction over prepared column arrays; shared by the per-read
+// extern entry and the batched ops-decoding entry below.
+int run_core(Ctx& c,
+             double* out_mean, double* out_std,
+             int64_t* out_start, int64_t* out_len, uint8_t* out_valid,
+             int64_t* signalnum_hist) {
+    const int64_t n_cols = c.n_cols;
+    const double* raw = c.raw;
+    const int strand = c.strand;
+    const int min_num_signal = c.min_num_signal;
+    const int resegment_signal_wind = c.resegment_signal_wind;
 
     std::map<int64_t, std::pair<int64_t, int>> indel_pos;
     mark_repeat_indels(c, indel_pos);
@@ -464,4 +461,237 @@ extern "C" int annotate_core(
         }
     }
     return 0;
+}
+
+inline char comp_base(char b) {
+    switch (b) {
+        case 'A': return 'T'; case 'C': return 'G';
+        case 'G': return 'C'; case 'T': return 'A';
+        case 'a': return 't'; case 'c': return 'g';
+        case 'g': return 'c'; case 't': return 'a';
+        default: return b;   // '-', '~', '*', '+', N map to self
+    }
+}
+
+}  // namespace
+
+extern "C" int annotate_core(
+    const char* refbase_in, char* readbase_io, int64_t n_cols,
+    const int64_t* ev_start, const int64_t* ev_length, int64_t n_events,
+    int strand, const double* raw, int64_t raw_len,
+    int min_num_signal, int resegment_signal_wind, double more_signal_perc,
+    // outputs (caller-allocated, length n_cols):
+    double* out_mean, double* out_std,
+    int64_t* out_start, int64_t* out_len, uint8_t* out_valid,
+    // histogram (length 32) of successful resegment windows; index 1 = fallback
+    int64_t* signalnum_hist) {
+    Ctx c{refbase_in, readbase_io, n_cols, ev_start, ev_length, n_events,
+          strand, raw, raw_len, min_num_signal, resegment_signal_wind,
+          more_signal_perc};
+    return run_core(c, out_mean, out_std, out_start, out_len, out_valid,
+                    signalnum_hist);
+}
+
+// ---------------------------------------------------------------------------
+// Batched path: device-walk codes -> alignment columns -> correction ->
+// write-ready payload arrays, one call per DP batch, C++ threads across
+// reads.  Replaces the per-read Python annotate_one (pipeline.py) on the
+// hot path: the decode (traceback.cpp semantics), the vectorized CIGAR
+// expansion (ref myRefBaseSignalAnnotation.py:537-588), the per-base event
+// window gather, run_core, and the output assembly of
+// save_annotation (ref :689-749) all happen here without touching Python
+// per read.
+//
+// Per-read inputs come as pointer tables (no host-side concatenation):
+//   codes [B, S]: device-walk op codes, 3'->5' (0 stop, 1 M, 2 I, 3 D)
+//   seq_ptr[b]/seq_len[b]: fwd-strand basecall (ASCII)
+//   ev_start_ptr/ev_length_ptr[b]: per-basecall-base event windows, int64,
+//       ORIGINAL basecall orientation, length seq_len[b]
+//   sig_ptr[b]/sig_len[b]: normalized signal, float64
+//   gen_ptr[b]/gen_len[b]: the read's chromosome sequence (ASCII)
+// Outputs (worst-case S columns per read, caller-allocated):
+//   ev_rows [B, S, 25]: packed CORRECTED_EVENTS_DTYPE rows
+//       (<f8 mean, <f8 stdev, <u4 start, <u4 length, S1 base),
+//       genome-ascending, reverse-complemented for '-' strand
+//       (ref save_annotation :699-702); ev_n[b] = row count
+//   read_al / genome_al [B, S]: alignment column chars (complemented +
+//       reversed for '-'); al_n[b] = column count
+//   meta [B, 8]: first_match_pos, clip_start, clip_end, num_ins, num_del,
+//       num_match, num_mismatch, 0
+//   hist [B, 32]: per-read resegment-window histogram
+//   status [B]: 0 ok, 1 incorrect alignment, 2 skipped (accept[b] == 0)
+extern "C" void annotate_codes_batch(
+    const uint8_t* codes, int64_t bsz, int64_t s,
+    const int32_t* best_i, const int32_t* best_k,
+    const uint8_t* accept, const int64_t* win_start,
+    const char** gen_ptr, const int64_t* gen_len,
+    const char** seq_ptr, const int64_t* seq_len,
+    const int64_t** ev_start_ptr, const int64_t** ev_length_ptr,
+    const double** sig_ptr, const int64_t* sig_len,
+    const uint8_t* strands,
+    int min_num_signal, int resegment_signal_wind, double more_signal_perc,
+    uint8_t* ev_rows, int64_t* ev_n,
+    uint8_t* read_al, uint8_t* genome_al, int64_t* al_n,
+    int64_t* meta, int64_t* hist, int32_t* status, int nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > bsz) nthreads = (int)bsz;
+
+    auto run = [&](int64_t lo_b, int64_t hi_b) {
+        // per-thread scratch, reused across reads
+        std::vector<int8_t> ot;
+        std::vector<int64_t> oa, ob;
+        std::vector<char> refb, readb;
+        std::vector<int64_t> ev_s, ev_l;
+        std::vector<double> col_mean, col_std;
+        std::vector<int64_t> col_start, col_len;
+        std::vector<uint8_t> col_valid;
+
+        for (int64_t b = lo_b; b < hi_b; ++b) {
+            ev_n[b] = 0; al_n[b] = 0;
+            std::memset(meta + b * 8, 0, 8 * sizeof(int64_t));
+            std::memset(hist + b * 32, 0, 32 * sizeof(int64_t));
+            if (!accept[b]) { status[b] = 2; continue; }
+
+            // decode walk codes (3'->5'), matching traceback.cpp
+            const uint8_t* row = codes + b * s;
+            ot.clear(); oa.clear(); ob.clear();
+            {
+                int64_t i = best_i[b], k = best_k[b];
+                for (int64_t t = 0; t < s; ++t) {
+                    uint8_t c = row[t];
+                    if (c == 0) break;
+                    if (c == 1) {
+                        ot.push_back(0); oa.push_back(i); ob.push_back(i + k);
+                        i -= 1;
+                    } else if (c == 2) {
+                        ot.push_back(1); oa.push_back(i); ob.push_back(-1);
+                        i -= 1; k += 1;
+                    } else {
+                        ot.push_back(2); oa.push_back(i + k); ob.push_back(-1);
+                        k -= 1;
+                    }
+                }
+                std::reverse(ot.begin(), ot.end());
+                std::reverse(oa.begin(), oa.end());
+                std::reverse(ob.begin(), ob.end());
+            }
+            int64_t n = (int64_t)ot.size();
+            if (n == 0 || n > s) { status[b] = 1; continue; }
+
+            // aligned read span + first exact-match genome position
+            int64_t r0 = INT64_MAX, r1 = -1, fm = -1;
+            for (int64_t t = 0; t < n; ++t) {
+                if (ot[t] != 2) {
+                    if (oa[t] < r0) r0 = oa[t];
+                    if (oa[t] > r1) r1 = oa[t];
+                }
+                if (fm < 0 && ot[t] == 0) fm = ob[t];
+            }
+            if (r1 < 0 || fm < 0) { status[b] = 1; continue; }
+            const int64_t ws = win_start[b];
+            const char* G = gen_ptr[b];
+            const int64_t GL = gen_len[b];
+            const char* SQ = seq_ptr[b];
+            const int64_t m_total = seq_len[b];
+            const int st = strands[b];
+
+            // columns (vectorized CIGAR expansion in the Python path)
+            refb.resize(n); readb.resize(n);
+            int64_t numins = 0, numdel = 0, nummis = 0;
+            bool oob = false;
+            for (int64_t t = 0; t < n; ++t) {
+                if (ot[t] == 0) {
+                    int64_t g = ob[t] + ws;
+                    if (g < 0 || g >= GL) { oob = true; break; }
+                    refb[t] = G[g]; readb[t] = SQ[oa[t]];
+                    if (refb[t] != readb[t]) nummis++;
+                } else if (ot[t] == 1) {
+                    refb[t] = '-'; readb[t] = SQ[oa[t]]; numins++;
+                } else {
+                    int64_t g = oa[t] + ws;
+                    if (g < 0 || g >= GL) { oob = true; break; }
+                    refb[t] = G[g]; readb[t] = '-'; numdel++;
+                }
+            }
+            if (oob) { status[b] = 1; continue; }
+
+            // genome-forward event windows for the aligned read span
+            int64_t n_aligned = r1 - r0 + 1;
+            const int64_t* ES = ev_start_ptr[b];
+            const int64_t* EL = ev_length_ptr[b];
+            ev_s.resize(n_aligned); ev_l.resize(n_aligned);
+            for (int64_t j = 0; j < n_aligned; ++j) {
+                int64_t orig = st == 0 ? r0 + j : m_total - 1 - r0 - j;
+                ev_s[j] = ES[orig]; ev_l[j] = EL[orig];
+            }
+
+            col_mean.assign(n, 0.0); col_std.assign(n, 0.0);
+            col_start.assign(n, 0); col_len.assign(n, 0);
+            col_valid.assign(n, 0);
+            Ctx c{refb.data(), readb.data(), n, ev_s.data(), ev_l.data(),
+                  n_aligned, st, sig_ptr[b], sig_len[b], min_num_signal,
+                  resegment_signal_wind, more_signal_perc};
+            run_core(c, col_mean.data(), col_std.data(), col_start.data(),
+                     col_len.data(), col_valid.data(), hist + b * 32);
+
+            // assemble output events (genome-ascending '+', descending '-')
+            uint8_t* rows = ev_rows + b * s * 25;
+            int64_t nr = 0;
+            auto emit = [&](int64_t col) {
+                uint8_t* p = rows + nr * 25;
+                double m = col_mean[col], sd = col_std[col];
+                uint32_t stt = (uint32_t)col_start[col];
+                uint32_t ln = (uint32_t)col_len[col];
+                std::memcpy(p, &m, 8);
+                std::memcpy(p + 8, &sd, 8);
+                std::memcpy(p + 16, &stt, 4);
+                std::memcpy(p + 20, &ln, 4);
+                p[24] = st == 0 ? refb[col] : comp_base(refb[col]);
+                nr++;
+            };
+            if (st == 0) {
+                for (int64_t t = 0; t < n; ++t)
+                    if (col_valid[t]) emit(t);
+            } else {
+                for (int64_t t = n - 1; t >= 0; --t)
+                    if (col_valid[t]) emit(t);
+            }
+            if (nr == 0) { status[b] = 1; continue; }
+            ev_n[b] = nr;
+
+            // alignment strings (readbase mutated by run_core '~' marks)
+            uint8_t* ra = read_al + b * s;
+            uint8_t* ga = genome_al + b * s;
+            if (st == 0) {
+                std::memcpy(ra, readb.data(), n);
+                std::memcpy(ga, refb.data(), n);
+            } else {
+                for (int64_t t = 0; t < n; ++t) {
+                    ra[t] = (uint8_t)comp_base(readb[n - 1 - t]);
+                    ga[t] = (uint8_t)comp_base(refb[n - 1 - t]);
+                }
+            }
+            al_n[b] = n;
+
+            int64_t* mt = meta + b * 8;
+            mt[0] = ws + fm;                         // first_match_pos
+            mt[1] = st == 0 ? r0 : m_total - 1 - r1; // clipped_start
+            mt[2] = st == 0 ? m_total - 1 - r1 : r0; // clipped_end
+            mt[3] = numins; mt[4] = numdel;
+            mt[5] = n - nummis - numins - numdel;    // num_matches
+            mt[6] = nummis;
+            status[b] = 0;
+        }
+    };
+
+    if (nthreads == 1) { run(0, bsz); return; }
+    std::vector<std::thread> pool;
+    int64_t chunk = (bsz + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+        int64_t lo = t * chunk;
+        int64_t hi = lo + chunk < bsz ? lo + chunk : bsz;
+        if (lo >= hi) break;
+        pool.emplace_back(run, lo, hi);
+    }
+    for (auto& th : pool) th.join();
 }

@@ -20,6 +20,7 @@ _CACHE = {}
 
 
 _EXTRA_FLAGS = {
+    "annotate_core": ["-pthread"],
     "fast5_ingest": ["-lz", "-pthread"],
     "fast5_write": ["-lz", "-pthread"],
     "sort_core": ["-pthread"],

@@ -465,20 +465,22 @@ def prepare_batch(paths: List[str], cfg: AnnotateConfig,
     workers = _host_workers(cfg)
     n_total = len(paths)
 
-    native_res = None
-    if cfg.use_native:
-        from nanomod_tpu.native.prepare_bind import (model_tables,
-                                                     native_prepare_batch)
-        tables = model_tables(kmer_model)
-        if kmer_model is None or tables is not None:
-            # pure C++ threads (no GIL): honor the requested count even
-            # past the core clamp — the OS schedules them fine
-            native_res = native_prepare_batch(
-                paths, cfg.basecall_1d, cfg.basecall_2strand,
-                nthreads=max(1, min(cfg.threads, 16)), kmer_tables=tables)
-
     with stage("prepare", unit="reads") as s:
         del n_total  # stage counts successfully prepared reads, not files
+        native_res = None
+        if cfg.use_native:
+            from nanomod_tpu.native.prepare_bind import (model_tables,
+                                                         native_prepare_batch)
+            tables = model_tables(kmer_model)
+            if kmer_model is None or tables is not None:
+                # pure C++ threads (no GIL), clamped to 2x the core count:
+                # past that the measured CPU per read INFLATES (0.41 -> 1.3
+                # core-ms at 8 threads on a 2-core host — allocator/cache
+                # contention) with no wall-clock gain
+                nt = max(1, min(cfg.threads, 2 * (os.cpu_count() or 1)))
+                native_res = native_prepare_batch(
+                    paths, cfg.basecall_1d, cfg.basecall_2strand,
+                    nthreads=nt, kmer_tables=tables)
         if native_res is not None:
             fallback = []
             good = []
@@ -607,8 +609,51 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
             ok += _write_h5py(r, payload)
         return ok
 
+    # fully-native fast path: decode + column build + correction + payload
+    # assembly in ONE threaded C++ call per DP batch
+    # (annotate_core.annotate_codes_batch) — removes all per-read Python
+    # from the annotate stage (measured 0.47 ms/read of numpy/ctypes call
+    # overhead on a 2-core host)
+    use_batch_annotate = False
+    if cfg.use_native and cfg.use_device_walk and cfg.align == "dp":
+        from nanomod_tpu.native.annotate_bind import _batch_lib
+        use_batch_annotate = _batch_lib() is not None
+
+    def annotate_batch_fast(dpb):
+        """Batched native annotate for a fetched 'codes'-mode DPBatch:
+        returns [(read, payload | None, err)]."""
+        from nanomod_tpu.native.annotate_bind import (
+            annotate_codes_batch_native)
+        from nanomod_tpu.resquiggle.banded import unpack_outputs
+        with stage("traceback", unit="reads") as s:
+            tb, best, bi, bk = unpack_outputs(np.asarray(dpb.packed),
+                                              dpb.tail_shape)
+            s.add(len(dpb.reads))
+        n = len(dpb.reads)
+        lens = dpb.lens
+        accept = np.empty(n, np.uint8)
+        for i in range(n):
+            accept[i] = best[i] >= max(20, int(0.3 * cfg.match_score
+                                               * lens[i]))
+        with stage("annotate", unit="reads") as s:
+            res = annotate_codes_batch_native(
+                tb[:n], bi[:n], bk[:n], accept, dpb.win_starts[:n],
+                dpb.reads, fasta, cfg.min_num_signal,
+                cfg.resegment_signal_wind, cfg.more_signal_perc,
+                nthreads=workers)
+            s.add(n)
+        out = []
+        for r, (payload, err) in zip(dpb.reads, res):
+            if payload is None:
+                out.append((r, None,
+                            "Not in alignment sam" if err == "skip" else err))
+            else:
+                out.append((r, payload, ""))
+        return out
+
     def aligned_batches():
-        """Yield (reads, per-read (ops, win_start)) batches — from the
+        """Yield ("ops", reads, per-read (ops, win_start)) or
+        ("done", reads, [(read, payload, err)]) batches — from the
         external aligner in one subprocess round, or from the bounded
         banded-DP dispatch window."""
         if cfg.align != "dp":
@@ -616,7 +661,7 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
             with stage("align_ext", unit="reads") as s:
                 results = align_external(prepared, cfg)
                 s.add(len(prepared))
-            yield prepared, results
+            yield "ops", prepared, results
             return
         # dp_inflight = in-flight DP sub-batches: dispatch k+1/k+2 while
         # finishing k (the window bounds device memory; 2 is enough to
@@ -635,44 +680,55 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
                 next_i += 1
             if dpb is None:
                 continue
+            if use_batch_annotate and dpb.mode == "codes":
+                yield "done", dpb.reads, annotate_batch_fast(dpb)
+                continue
             with stage("traceback", unit="reads") as s:
                 results = finish_alignment(dpb, cfg)
                 s.add(len(dpb.reads))
-            yield dpb.reads, results
+            yield "ops", dpb.reads, results
+
+    def compress_payload(item):
+        r, payload, err = item
+        if (payload is not None and not use_native_write
+                and cfg.fast5_compression == "gzip"):
+            # h5py path: deflate outside the writer thread (zlib releases
+            # the GIL); the native writer deflates in C++ itself
+            payload["_precompressed"] = compress_corrected_arrays(
+                payload["events"], payload["read_alignment"],
+                payload["genome_alignment"])
+        return r, payload, err
 
     with ThreadPoolExecutor(max_workers=workers) as ex, \
             ThreadPoolExecutor(max_workers=1) as writer:
         pending = []
-        for batch_reads, results in aligned_batches():
+        for kind, batch_reads, results in aligned_batches():
 
             def one(args):
                 r, (ops, ws) = args
                 if ops is None:
                     return r, None, "Not in alignment sam"
                 payload, err = annotate_one(r, ops, ws, fasta, cfg)
-                if (payload is not None and not use_native_write
-                        and cfg.fast5_compression == "gzip"):
-                    # h5py path: deflate here (zlib releases the GIL) so the
-                    # single writer thread only does the serialized h5py
-                    # part; the native writer deflates in C++ itself
-                    payload["_precompressed"] = compress_corrected_arrays(
-                        payload["events"], payload["read_alignment"],
-                        payload["genome_alignment"])
-                return r, payload, err
+                return compress_payload((r, payload, err))
             # the correction core (ctypes) and numpy release the GIL, so a
             # thread pool parallelizes annotate across reads; completed
             # reads stream to the writer in small groups so the h5py
             # write-back overlaps the rest of the batch's correction
             with stage("annotate", unit="reads") as s:
+                if kind == "done":
+                    it = (results if use_native_write
+                          else ex.map(compress_payload, results))
+                else:
+                    it = ex.map(one, zip(batch_reads, results))
+                    s.add(len(batch_reads))
                 group: list = []
-                for res in ex.map(one, zip(batch_reads, results)):
+                for res in it:
                     group.append(res)
                     if len(group) >= 16:
                         pending.append(writer.submit(write_many, group))
                         group = []
                 if group:
                     pending.append(writer.submit(write_many, group))
-                s.add(len(batch_reads))
         with stage("write", unit="reads") as s:
             for fut in pending:
                 n_ok += fut.result()

@@ -276,3 +276,98 @@ def test_device_walk_matches_python_walker():
         if dec_native is not None:
             for a, b in zip(ops_to_arrays(want), dec_native[i]):
                 np.testing.assert_array_equal(a, b)
+
+def test_annotate_codes_batch_matches_per_read(tmp_path):
+    """The one-call batched native annotate (annotate_codes_batch) must
+    produce byte-identical payloads to the per-read annotate_one path on
+    real pipeline reads, both strands, including error statuses."""
+    import os
+
+    from fixtures import make_genome, make_raw_dataset
+    from nanomod_tpu.config import AnnotateConfig, replace
+    from nanomod_tpu.io.fasta import FastaIndex
+    from nanomod_tpu.native.annotate_bind import annotate_codes_batch_native
+    from nanomod_tpu.resquiggle.banded import unpack_outputs
+    from nanomod_tpu.resquiggle.pipeline import (annotate_one, dispatch_dp,
+                                                 finish_alignment,
+                                                 prepare_read)
+    from nanomod_tpu.resquiggle.seed import SeedIndex
+
+    chrom, genome = make_genome(length=900, seed=21)
+    fasta_p = str(tmp_path / "ref.fa")
+    with open(fasta_p, "w") as f:
+        f.write(f">{chrom}\n{genome}\n")
+    rd_dir = str(tmp_path / "reads")
+    make_raw_dataset(rd_dir, chrom, genome, n_reads=12, seed=22,
+                     error_rate=0.05)
+    cfg = replace(AnnotateConfig(ref_fasta=fasta_p), use_pallas_dp=False)
+    fasta = FastaIndex(fasta_p)
+    sidx = SeedIndex(fasta.seqs, k=cfg.seed_k)
+
+    prepared = []
+    for name in sorted(os.listdir(rd_dir)):
+        rd, _ = prepare_read(os.path.join(rd_dir, name), cfg, sidx, None)
+        if rd is not None:
+            prepared.append(rd)
+    assert len(prepared) >= 10
+    batch = dispatch_dp(prepared, fasta, cfg)
+    assert batch.mode == "codes"
+    tb, best, bi, bk = unpack_outputs(np.asarray(batch.packed),
+                                      batch.tail_shape)
+    n = len(prepared)
+    accept = np.array(
+        [best[i] >= max(20, int(0.3 * cfg.match_score * batch.lens[i]))
+         for i in range(n)], np.uint8)
+    res = annotate_codes_batch_native(
+        tb[:n], bi[:n], bk[:n], accept, batch.win_starts[:n], prepared,
+        fasta, cfg.min_num_signal, cfg.resegment_signal_wind,
+        cfg.more_signal_perc, nthreads=2)
+    assert res is not None
+
+    ref_results = finish_alignment(batch, cfg)
+    n_checked = 0
+    for i, r in enumerate(prepared):
+        ops, ws = ref_results[i]
+        pay_b, err_b = res[i]
+        if ops is None:
+            assert pay_b is None and err_b == "skip"
+            continue
+        pay_a, err_a = annotate_one(r, ops, ws, fasta, cfg)
+        assert (pay_a is None) == (pay_b is None)
+        if pay_a is None:
+            assert err_b == err_a
+            continue
+        for key in pay_a:
+            a, b = pay_a[key], pay_b[key]
+            if isinstance(a, np.ndarray):
+                assert a.tobytes() == b.tobytes(), key
+            else:
+                assert a == b, (key, a, b)
+        n_checked += 1
+    assert n_checked >= 8
+
+
+def test_pack_unpack_outputs_roundtrip():
+    """pack_outputs/unpack_outputs must round-trip scores and indices
+    bit-exactly in every tb mode (plain / packed / codes) so an XLA layout
+    or endianness change fails loudly (advisor finding, round 3)."""
+    import jax.numpy as jnp
+
+    from nanomod_tpu.resquiggle.banded import pack_outputs, unpack_outputs
+
+    rng = np.random.default_rng(5)
+    for tail in ((16, 8), (24,)):          # [M, W] tb modes and codes mode
+        tb = rng.integers(0, 255, (4,) + tail).astype(np.uint8)
+        best = rng.normal(0, 1000, 4).astype(np.float32)
+        bi = rng.integers(-3, 3000, 4).astype(np.int32)
+        bk = rng.integers(0, 127, 4).astype(np.int32)
+        packed = pack_outputs(jnp.asarray(tb), jnp.asarray(best),
+                              jnp.asarray(bi), jnp.asarray(bk))
+        tb2, best2, bi2, bk2 = unpack_outputs(np.asarray(packed), tail)
+        np.testing.assert_array_equal(tb2, tb)
+        np.testing.assert_array_equal(bi2, bi)
+        np.testing.assert_array_equal(bk2, bk)
+        # scores survive to the precision the packing promises
+        # (round-to-nearest int32, exact for integral score configs)
+        np.testing.assert_array_equal(best2,
+                                      np.round(best).astype(np.int32))
