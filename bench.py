@@ -100,7 +100,7 @@ def bench_annotate():
     from nanomod_tpu.resquiggle import annotate_files
     from nanomod_tpu.resquiggle.seed import SeedIndex
 
-    n_reads = int(os.environ.get("BENCH_READS", 128))
+    n_reads = int(os.environ.get("BENCH_READS", 512))
     read_len = int(os.environ.get("BENCH_READ_LEN", 2000))
 
     root = tempfile.mkdtemp()

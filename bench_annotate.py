@@ -35,7 +35,7 @@ def main():
     from nanomod_tpu.io.fasta import FastaIndex
     from nanomod_tpu.resquiggle.seed import SeedIndex
 
-    n_reads = int(os.environ.get("BENCH_READS", 128))
+    n_reads = int(os.environ.get("BENCH_READS", 512))
     read_len = int(os.environ.get("BENCH_READ_LEN", 2000))
 
     root = tempfile.mkdtemp()

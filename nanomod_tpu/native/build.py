@@ -28,6 +28,13 @@ _EXTRA_FLAGS = {
     "format_core": ["-pthread"],
 }
 
+# optional faster deflate backend (standard zlib output): first flag set
+# that links wins; plain zlib is the guaranteed fallback
+_OPTIONAL_FLAGS = {
+    "fast5_write": [["-l:libdeflate.so.0"], ["-ldeflate"],
+                    ["-DNO_LIBDEFLATE"]],
+}
+
 
 def _build(name: str) -> str:
     src = os.path.join(_DIR, f"{name}.cpp")
@@ -36,8 +43,14 @@ def _build(name: str) -> str:
         return lib
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
            "-o", lib, src] + _EXTRA_FLAGS.get(name, [])
-    subprocess.run(cmd, check=True, capture_output=True)
-    return lib
+    last = None
+    for opt in _OPTIONAL_FLAGS.get(name, [[]]):
+        try:
+            subprocess.run(cmd + opt, check=True, capture_output=True)
+            return lib
+        except subprocess.CalledProcessError as e:
+            last = e
+    raise last
 
 
 def load_native(name: str):
