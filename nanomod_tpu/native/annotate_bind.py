@@ -138,7 +138,7 @@ def _batch_lib():
             P(ctypes.c_uint8), P(ctypes.c_int64),                   # ev out
             P(ctypes.c_uint8), P(ctypes.c_uint8), P(ctypes.c_int64),  # al
             P(ctypes.c_int64), P(ctypes.c_int64), P(ctypes.c_int32),  # meta/hist/status
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
         ]
         _batch_sig_set = True
     return lib
@@ -150,7 +150,8 @@ def annotate_codes_batch_native(codes: np.ndarray, best_i: np.ndarray,
                                 min_num_signal: int,
                                 resegment_signal_wind: int,
                                 more_signal_perc: float,
-                                nthreads: int = 2):
+                                nthreads: int = 2,
+                                packed: bool = False):
     """One native call per DP batch: decode device-walk codes, build
     alignment columns, run the correction core, and assemble write-ready
     payload pieces — C++ threads across reads, no per-read Python.
@@ -166,7 +167,8 @@ def annotate_codes_batch_native(codes: np.ndarray, best_i: np.ndarray,
         return None
     from nanomod_tpu.io.fast5 import CORRECTED_EVENTS_DTYPE
 
-    bsz, s = codes.shape
+    bsz, sb = codes.shape
+    s = sb * 4 if packed else sb      # step count (packed: 4 steps/byte)
     n = len(reads)
     assert n <= bsz
     codes_c = np.ascontiguousarray(codes[:n], np.uint8)
@@ -237,7 +239,8 @@ def annotate_codes_batch_native(codes: np.ndarray, best_i: np.ndarray,
         al_n.ctypes.data_as(P(ctypes.c_int64)),
         meta.ctypes.data_as(P(ctypes.c_int64)),
         hist.ctypes.data_as(P(ctypes.c_int64)),
-        status.ctypes.data_as(P(ctypes.c_int32)), int(nthreads))
+        status.ctypes.data_as(P(ctypes.c_int32)), int(nthreads),
+        1 if packed else 0)
     del keep
 
     out = []

@@ -532,9 +532,13 @@ extern "C" void annotate_codes_batch(
     int min_num_signal, int resegment_signal_wind, double more_signal_perc,
     uint8_t* ev_rows, int64_t* ev_n,
     uint8_t* read_al, uint8_t* genome_al, int64_t* al_n,
-    int64_t* meta, int64_t* hist, int32_t* status, int nthreads) {
+    int64_t* meta, int64_t* hist, int32_t* status, int nthreads,
+    int codes_packed) {
+    // codes_packed != 0: rows are 2-bit packed 4 steps/byte
+    // (banded.pack_codes2); s stays the step count
     if (nthreads < 1) nthreads = 1;
     if (nthreads > bsz) nthreads = (int)bsz;
+    const int64_t cstride = codes_packed ? s / 4 : s;
 
     auto run = [&](int64_t lo_b, int64_t hi_b) {
         // per-thread scratch, reused across reads
@@ -553,12 +557,14 @@ extern "C" void annotate_codes_batch(
             if (!accept[b]) { status[b] = 2; continue; }
 
             // decode walk codes (3'->5'), matching traceback.cpp
-            const uint8_t* row = codes + b * s;
+            const uint8_t* row = codes + b * cstride;
             ot.clear(); oa.clear(); ob.clear();
             {
                 int64_t i = best_i[b], k = best_k[b];
                 for (int64_t t = 0; t < s; ++t) {
-                    uint8_t c = row[t];
+                    uint8_t c = codes_packed
+                        ? (uint8_t)((row[t >> 2] >> ((t & 3) * 2)) & 3)
+                        : row[t];
                     if (c == 0) break;
                     if (c == 1) {
                         ot.push_back(0); oa.push_back(i); ob.push_back(i + k);

@@ -91,22 +91,27 @@ extern "C" int64_t traceback_one(
 // Decode device-walk op codes (banded.walk_device: 0 stop, 1 M, 2 I, 3 D,
 // 3'->5' walk order) into the (type, a, b) op arrays of traceback_batch.
 // codes is [B, S] row-major; outputs are [B, cap] with out_n[b] counts.
+// codes_packed != 0: codes rows are 2-bit-packed 4 steps/byte
+// (banded.pack_codes2), row stride s/4 bytes; s is still the step count.
 extern "C" void decode_walk_batch(
     const uint8_t* codes, int64_t bsz, int64_t s,
     const int32_t* best_i, const int32_t* best_k,
     int32_t* ops_type, int32_t* ops_a, int32_t* ops_b,
-    int64_t cap, int64_t* out_n, int nthreads) {
+    int64_t cap, int64_t* out_n, int nthreads, int codes_packed) {
     if (nthreads < 1) nthreads = 1;
     if (nthreads > bsz) nthreads = (int)bsz;
+    const int64_t stride = codes_packed ? s / 4 : s;
     auto run = [&](int64_t lo, int64_t hi) {
         for (int64_t b = lo; b < hi; ++b) {
-            const uint8_t* row = codes + b * s;
+            const uint8_t* row = codes + b * stride;
             int32_t* ot = ops_type + b * cap;
             int32_t* oa = ops_a + b * cap;
             int32_t* ob = ops_b + b * cap;
             int64_t i = best_i[b], k = best_k[b], n = 0;
             for (int64_t t = 0; t < s && n < cap; ++t) {
-                uint8_t c = row[t];
+                uint8_t c = codes_packed
+                    ? (uint8_t)((row[t >> 2] >> ((t & 3) * 2)) & 3)
+                    : row[t];
                 if (c == 0) break;
                 if (c == 1) {
                     ot[n] = 0; oa[n] = (int32_t)i; ob[n] = (int32_t)(i + k);

@@ -238,6 +238,28 @@ def walk_device(tb, best_i, best_k):
     return jnp.transpose(codes)        # [B, steps]
 
 
+@jax.jit
+def pack_codes2(codes):
+    """Pack the 2-bit walk codes (0..3) four-per-byte ON DEVICE —
+    quarters the device->host transfer of walk_device's [B, 2M+W] code
+    array (the link, not compute, dominates on tunneled chips).  The step
+    count 2M+W is a multiple of 4 for the power-of-two M/W buckets."""
+    b, s = codes.shape
+    c = codes.reshape(b, s // 4, 4)
+    return (c[..., 0] | (c[..., 1] << 2) | (c[..., 2] << 4)
+            | (c[..., 3] << 6))
+
+
+def unpack_codes2(packed: np.ndarray) -> np.ndarray:
+    """Host inverse of pack_codes2 (fallback when the native decoder,
+    which reads the packed bytes directly, is unavailable)."""
+    b, sb = packed.shape
+    out = np.empty((b, sb * 4), np.uint8)
+    for j in range(4):
+        out[:, j::4] = (packed >> (2 * j)) & 3
+    return out
+
+
 def decode_walk(codes_row: np.ndarray, best_i: int, best_k: int):
     """Host decode of one read's device-walk codes into traceback-style
     ops (5'→3'), the pure-Python reference for decode_walk_native."""
@@ -261,10 +283,12 @@ def decode_walk(codes_row: np.ndarray, best_i: int, best_k: int):
 
 
 def decode_walk_native(codes: np.ndarray, best_i: np.ndarray,
-                       best_k: np.ndarray, nthreads: int = 8):
+                       best_k: np.ndarray, nthreads: int = 8,
+                       packed: bool = False):
     """Whole-batch C++ decode of device-walk codes (traceback.cpp
     decode_walk_batch); returns (ops_type, ops_a, ops_b) triples in 5'→3'
-    order per read, or None when the toolchain is unavailable."""
+    order per read, or None when the toolchain is unavailable.  packed:
+    codes are 2-bit packed 4 steps/byte (pack_codes2)."""
     import ctypes
 
     from nanomod_tpu.native.build import load_native
@@ -279,10 +303,11 @@ def decode_walk_native(codes: np.ndarray, best_i: np.ndarray,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
         ]
         lib._decode_sig = True
-    bsz, s = codes.shape
+    bsz, sb = codes.shape
+    s = sb * 4 if packed else sb
     cap = s
     ot = np.empty((bsz, cap), np.int32)
     oa = np.empty((bsz, cap), np.int32)
@@ -298,7 +323,8 @@ def decode_walk_native(codes: np.ndarray, best_i: np.ndarray,
         ot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         oa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ob.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
-        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nthreads)
+        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nthreads,
+        1 if packed else 0)
     return [(ot[b, : out_n[b]].copy(), oa[b, : out_n[b]].copy(),
              ob[b, : out_n[b]].copy()) for b in range(bsz)]
 
@@ -373,7 +399,8 @@ def traceback_batch_native(tb: np.ndarray, best_i: np.ndarray,
         ot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         oa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ob.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
-        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nthreads)
+        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nthreads,
+        1 if packed else 0)
     return [(ot[b, : out_n[b]].copy(), oa[b, : out_n[b]].copy(),
              ob[b, : out_n[b]].copy()) for b in range(bsz)]
 

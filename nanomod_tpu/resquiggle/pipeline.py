@@ -166,10 +166,17 @@ def dispatch_dp(reads: List[PreparedRead], fasta: FastaIndex,
         )
     mode = "plain"
     if cfg.use_device_walk:
-        # walk the traceback on device: only op codes cross the D2H link
-        from nanomod_tpu.resquiggle.banded import walk_device
+        # walk the traceback on device: only op codes cross the D2H link;
+        # 2-bit-pack them (4 steps/byte) when the native decoder that
+        # reads packed rows is present — quarters the transfer
+        from nanomod_tpu.resquiggle.banded import pack_codes2, walk_device
         tb = walk_device(tb, bi, bk)
         mode = "codes"
+        if cfg.use_native:
+            from nanomod_tpu.native.build import native_available
+            if native_available("traceback") and tb.shape[1] % 4 == 0:
+                tb = pack_codes2(tb)
+                mode = "codes2"
     elif cfg.use_native and w % 2 == 0:
         from nanomod_tpu.native.build import load_native
         if load_native("traceback") is not None:
@@ -207,10 +214,14 @@ def finish_alignment(batch: DPBatch, cfg: AnnotateConfig):
     n = len(reads)
     ops_all = None
     nthreads = _host_workers(cfg, cap=8)
-    if batch.mode == "codes":
+    if batch.mode in ("codes", "codes2"):
         if cfg.use_native:
             ops_all = decode_walk_native(tb[:n], bi[:n], bk[:n],
-                                         nthreads=nthreads)
+                                         nthreads=nthreads,
+                                         packed=batch.mode == "codes2")
+        if ops_all is None and batch.mode == "codes2":
+            from nanomod_tpu.resquiggle.banded import unpack_codes2
+            tb = unpack_codes2(tb)
     elif cfg.use_native:
         ops_all = traceback_batch_native(
             tb[:n], bi[:n], bk[:n], packed=batch.mode == "packed",
@@ -223,7 +234,7 @@ def finish_alignment(batch: DPBatch, cfg: AnnotateConfig):
             continue
         if ops_all is not None:
             ops = ops_all[i]
-        elif batch.mode == "codes":
+        elif batch.mode in ("codes", "codes2"):
             ops = ops_to_arrays(decode_walk(tb[i], int(bi[i]), int(bk[i])))
         else:
             ops = ops_to_arrays(
@@ -640,7 +651,7 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
                 tb[:n], bi[:n], bk[:n], accept, dpb.win_starts[:n],
                 dpb.reads, fasta, cfg.min_num_signal,
                 cfg.resegment_signal_wind, cfg.more_signal_perc,
-                nthreads=workers)
+                nthreads=workers, packed=dpb.mode == "codes2")
             s.add(n)
         out = []
         for r, (payload, err) in zip(dpb.reads, res):
@@ -680,7 +691,7 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
                 next_i += 1
             if dpb is None:
                 continue
-            if use_batch_annotate and dpb.mode == "codes":
+            if use_batch_annotate and dpb.mode in ("codes", "codes2"):
                 yield "done", dpb.reads, annotate_batch_fast(dpb)
                 continue
             with stage("traceback", unit="reads") as s:

@@ -311,7 +311,7 @@ def test_annotate_codes_batch_matches_per_read(tmp_path):
             prepared.append(rd)
     assert len(prepared) >= 10
     batch = dispatch_dp(prepared, fasta, cfg)
-    assert batch.mode == "codes"
+    assert batch.mode in ("codes", "codes2")
     tb, best, bi, bk = unpack_outputs(np.asarray(batch.packed),
                                       batch.tail_shape)
     n = len(prepared)
@@ -321,7 +321,7 @@ def test_annotate_codes_batch_matches_per_read(tmp_path):
     res = annotate_codes_batch_native(
         tb[:n], bi[:n], bk[:n], accept, batch.win_starts[:n], prepared,
         fasta, cfg.min_num_signal, cfg.resegment_signal_wind,
-        cfg.more_signal_perc, nthreads=2)
+        cfg.more_signal_perc, nthreads=2, packed=batch.mode == "codes2")
     assert res is not None
 
     ref_results = finish_alignment(batch, cfg)
