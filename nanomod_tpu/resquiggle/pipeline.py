@@ -530,42 +530,61 @@ def prepare_batch(paths: List[str], cfg: AnnotateConfig,
     return prepared, errors
 
 
-def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
-                     fasta: FastaIndex):
-    """Align + correct + write-back a list of prepared reads.
+def process_prepared(prepared, cfg: AnnotateConfig,
+                     fasta: FastaIndex, progress=None):
+    """Align + correct + write-back prepared reads.
 
-    Pipelined: buckets are split into sub-batches of cfg.dp_batch_size and
-    a BOUNDED window of sub-batch DPs is kept in flight (JAX dispatch is
-    async), so the device computes sub-batch k+1 while the host fetches/
-    tracebacks/annotates k — without parking every sub-batch's [B, M, W]
-    traceback matrices in HBM at once; FAST5 write-back runs on a
-    background thread and overlaps the next fetch.
+    ``prepared`` is a list OR an iterator of lists (streamed chunks from
+    the prepare prefetcher).  Pipelined: each chunk's buckets are split
+    into sub-batches of cfg.dp_batch_size and a BOUNDED window of
+    sub-batch DPs is kept in flight (JAX dispatch is async) ACROSS chunk
+    boundaries — the device computes sub-batch k+1 while the host fetches/
+    annotates k, and never stalls between chunks; FAST5 write-back runs on
+    a background thread and overlaps the next fetch.  ``progress(n)`` (if
+    given) is called as each chunk enters the DP stream.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     from nanomod_tpu.utils.observe import stage
 
     errors = defaultdict(list)
-    buckets: Dict[int, List[PreparedRead]] = defaultdict(list)
-    for r in prepared:
-        buckets[_length_bucket(len(r.fwd_seq))].append(r)
+    chunk_list = [prepared] if isinstance(prepared, list) else None
+    chunk_iter = iter(chunk_list) if chunk_list is not None else iter(prepared)
+    n_seen = 0
+    sub = 0
 
-    # sub-batch size: split the run into >=2 DP parts when possible so the
-    # device computes part k+1 while the host annotates part k (measured on
-    # TPU: 2x64 pipelined == 1x128 serial in device time, so the split is
-    # free); power-of-2 sizes keep the jit shape set small
-    sub = max(8, min(cfg.dp_batch_size, -(-len(prepared) // 2)))
-    sub = 1 << (sub - 1).bit_length()
-    dp_parts = []          # (reads, pad_bsz) specs, dispatched lazily below
-    for bucket_reads in buckets.values():
-        for lo in range(0, len(bucket_reads), sub):
-            dp_parts.append((bucket_reads[lo: lo + sub],
-                             sub if len(bucket_reads) > sub else 0))
+    def dp_parts_gen():
+        """(reads, pad) sub-batch specs, streamed across chunks.  The
+        sub-batch size is fixed from the first chunk (power of two) so
+        every chunk reuses the same jit shapes."""
+        nonlocal n_seen, sub
+        for chunk in chunk_iter:
+            n_seen += len(chunk)
+            if progress is not None:
+                progress(len(chunk))
+            if not chunk:
+                continue
+            if sub == 0:
+                # >=2 DP parts when possible so the device computes part
+                # k+1 while the host annotates part k (measured on TPU:
+                # 2x64 pipelined == 1x128 serial in device time)
+                sub = max(8, min(cfg.dp_batch_size, -(-len(chunk) // 2)))
+                sub = 1 << (sub - 1).bit_length()
+            buckets: Dict[int, List[PreparedRead]] = defaultdict(list)
+            for r in chunk:
+                buckets[_length_bucket(len(r.fwd_seq))].append(r)
+            for bucket_reads in buckets.values():
+                for lo in range(0, len(bucket_reads), sub):
+                    yield (bucket_reads[lo: lo + sub],
+                           sub if len(bucket_reads) > sub else 0)
 
-    def dispatch_next(i):
-        if i >= len(dp_parts):
+    dp_parts = dp_parts_gen()
+
+    def dispatch_next():
+        spec = next(dp_parts, None)
+        if spec is None:
             return None
-        part, pad = dp_parts[i]
+        part, pad = spec
         with stage("align_dp", unit="reads") as s:
             dpb = dispatch_dp(part, fasta, cfg, pad_bsz=pad)
             s.add(len(part))
@@ -668,11 +687,14 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
         external aligner in one subprocess round, or from the bounded
         banded-DP dispatch window."""
         if cfg.align != "dp":
+            nonlocal n_seen
             from nanomod_tpu.resquiggle.external import align_external
+            all_prepared = [r for chunk in chunk_iter for r in chunk]
+            n_seen += len(all_prepared)
             with stage("align_ext", unit="reads") as s:
-                results = align_external(prepared, cfg)
-                s.add(len(prepared))
-            yield "ops", prepared, results
+                results = align_external(all_prepared, cfg)
+                s.add(len(all_prepared))
+            yield "ops", all_prepared, results
             return
         # dp_inflight = in-flight DP sub-batches: dispatch k+1/k+2 while
         # finishing k (the window bounds device memory; 2 is enough to
@@ -680,15 +702,16 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
         from collections import deque
         dp_inflight = 2
         window = deque()
-        next_i = 0
-        while next_i < min(dp_inflight, len(dp_parts)):
-            window.append(dispatch_next(next_i))
-            next_i += 1
+        for _ in range(dp_inflight):
+            dpb = dispatch_next()
+            if dpb is None:
+                break
+            window.append(dpb)
         while window:
             dpb = window.popleft()
-            if next_i < len(dp_parts):
-                window.append(dispatch_next(next_i))
-                next_i += 1
+            nxt = dispatch_next()
+            if nxt is not None:
+                window.append(nxt)
             if dpb is None:
                 continue
             if use_batch_annotate and dpb.mode in ("codes", "codes2"):
@@ -743,7 +766,7 @@ def process_prepared(prepared: List[PreparedRead], cfg: AnnotateConfig,
         with stage("write", unit="reads") as s:
             for fut in pending:
                 n_ok += fut.result()
-            s.add(len(prepared))
+            s.add(n_seen)
     for p in write_errors:
         errors["Cannot save data"].append(p)
     return n_ok, dict(errors), dict(signal_hist)
@@ -765,24 +788,38 @@ def _chunked(paths: List[str], cfg: AnnotateConfig) -> List[List[str]]:
 
 
 def _run_chunks(chunks: List[List[str]], cfg: AnnotateConfig,
-                fasta: FastaIndex, seed_index: SeedIndex, kmer_model):
-    """Drive the chunked Annotate pipeline: yields per-chunk
-    (n_ok, errors, signal_hist) while chunk k+1's prepare runs on a
-    background thread."""
+                fasta: FastaIndex, seed_index: SeedIndex, kmer_model,
+                progress=None):
+    """Drive the chunked Annotate pipeline: chunk k+1's prepare runs on a
+    background thread while chunk k streams through the cross-chunk DP
+    window of process_prepared.  Returns aggregate
+    (n_ok, errors, signal_hist); ``progress(n_prepared)`` fires as each
+    chunk enters the DP stream."""
     from concurrent.futures import ThreadPoolExecutor
 
+    all_errors: Dict[str, List[str]] = defaultdict(list)
+    if not chunks:
+        return 0, {}, {}
     with ThreadPoolExecutor(max_workers=1) as prefetcher:
-        fut = (prefetcher.submit(prepare_batch, chunks[0], cfg, seed_index,
-                                 kmer_model) if chunks else None)
-        for ci in range(len(chunks)):
-            prepared, errors = fut.result()
-            fut = (prefetcher.submit(prepare_batch, chunks[ci + 1], cfg,
-                                     seed_index, kmer_model)
-                   if ci + 1 < len(chunks) else None)
-            n_ok, perrors, chist = process_prepared(prepared, cfg, fasta)
-            for k, v in perrors.items():
-                errors[k].extend(v)
-            yield n_ok, errors, chist
+        fut = prefetcher.submit(prepare_batch, chunks[0], cfg, seed_index,
+                                kmer_model)
+
+        def prepared_iter():
+            nonlocal fut
+            for ci in range(len(chunks)):
+                prepared, errors = fut.result()
+                fut = (prefetcher.submit(prepare_batch, chunks[ci + 1], cfg,
+                                         seed_index, kmer_model)
+                       if ci + 1 < len(chunks) else None)
+                for k, v in errors.items():
+                    all_errors[k].extend(v)
+                yield prepared
+
+        n_ok, perrors, chist = process_prepared(prepared_iter(), cfg, fasta,
+                                                progress=progress)
+    for k, v in perrors.items():
+        all_errors[k].extend(v)
+    return n_ok, dict(all_errors), chist
 
 
 def annotate_files(paths: List[str], cfg: AnnotateConfig,
@@ -799,17 +836,9 @@ def annotate_files(paths: List[str], cfg: AnnotateConfig,
     kmer_model = (load_kmer_model(cfg.kmer_model_file)
                   if cfg.kmer_model_file and os.path.isfile(cfg.kmer_model_file)
                   else None)
-    total_ok = 0
-    all_errors = defaultdict(list)
-    all_hist: Dict[int, int] = defaultdict(int)
-    for n_ok, errors, chist in _run_chunks(_chunked(paths, cfg), cfg,
-                                           fasta, seed_index, kmer_model):
-        total_ok += n_ok
-        for k, v in errors.items():
-            all_errors[k].extend(v)
-        for wnd, cnt in chist.items():
-            all_hist[wnd] += cnt
-    return total_ok, dict(all_errors), dict(all_hist)
+    n_ok, errors, chist = _run_chunks(_chunked(paths, cfg), cfg, fasta,
+                                      seed_index, kmer_model)
+    return n_ok, errors, chist
 
 
 def annotate_folder(cfg: AnnotateConfig):
@@ -855,23 +884,19 @@ def annotate_folder(cfg: AnnotateConfig):
     kmer_model = (load_kmer_model(cfg.kmer_model_file)
                   if cfg.kmer_model_file and os.path.isfile(cfg.kmer_model_file)
                   else None)
-    total_ok = 0
-    all_errors = defaultdict(list)
-    all_hist: Dict[int, int] = defaultdict(int)
     chunks = _chunked(paths, cfg)
     done = 0
-    for ci, (n_ok, errors, chist) in enumerate(
-            _run_chunks(chunks, cfg, fasta, seed_index, kmer_model)):
-        for wnd, cnt in chist.items():
-            all_hist[wnd] += cnt
-        total_ok += n_ok
-        for k, v in errors.items():
-            all_errors[k].extend(v)
-        done += len(chunks[ci])
+
+    def progress(n: int):
+        nonlocal done
+        done += n
         dt = time.time() - start
         if cfg.out_level <= 1 and done < len(paths):
             print(f"{done}/{len(paths)} reads, "
                   f"{done / max(dt, 1e-9):.1f} reads/s")
+
+    total_ok, all_errors, all_hist = _run_chunks(
+        chunks, cfg, fasta, seed_index, kmer_model, progress=progress)
     dt = time.time() - start
     if pcount > 1:
         from nanomod_tpu.parallel.dist import merge_annotate_stats
