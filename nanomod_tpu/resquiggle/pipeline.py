@@ -531,7 +531,7 @@ def prepare_batch(paths: List[str], cfg: AnnotateConfig,
 
 
 def process_prepared(prepared, cfg: AnnotateConfig,
-                     fasta: FastaIndex, progress=None):
+                     fasta: FastaIndex, progress=None, sub_hint: int = 0):
     """Align + correct + write-back prepared reads.
 
     ``prepared`` is a list OR an iterator of lists (streamed chunks from
@@ -567,8 +567,12 @@ def process_prepared(prepared, cfg: AnnotateConfig,
             if sub == 0:
                 # >=2 DP parts when possible so the device computes part
                 # k+1 while the host annotates part k (measured on TPU:
-                # 2x64 pipelined == 1x128 serial in device time)
-                sub = max(8, min(cfg.dp_batch_size, -(-len(chunk) // 2)))
+                # 2x64 pipelined == 1x128 serial in device time).  The
+                # caller passes sub_hint when a small ramp-up chunk leads
+                # the stream, so the steady-state chunks still get
+                # full-size DP parts (one jit shape set).
+                sub = sub_hint or max(8, min(cfg.dp_batch_size,
+                                             -(-len(chunk) // 2)))
                 sub = 1 << (sub - 1).bit_length()
             buckets: Dict[int, List[PreparedRead]] = defaultdict(list)
             for r in chunk:
@@ -779,12 +783,19 @@ def _chunked(paths: List[str], cfg: AnnotateConfig) -> List[List[str]]:
     chunk k.  A floor of 64 files/chunk takes precedence — below that the
     per-dispatch DP latency costs more than the prepare overlap saves — so
     runs under 128 files process as a single chunk (process_prepared still
-    splits them into >=2 in-flight DP sub-batches internally)."""
+    splits them into >=2 in-flight DP sub-batches internally).  Runs of
+    >=192 files lead with one small ramp-up chunk (32 files) so the DP
+    stream starts while the bulk of chunk 0 is still parsing — chunk 0's
+    prepare is the only one nothing overlaps."""
     if not paths:
         return []
+    ramp: List[List[str]] = []
+    if len(paths) >= 192:
+        ramp = [paths[:32]]
+        paths = paths[32:]
     chunk_sz = max(64, min(cfg.files_per_thread, -(-len(paths) // 3)))
-    return [paths[lo: lo + chunk_sz]
-            for lo in range(0, len(paths), chunk_sz)]
+    return ramp + [paths[lo: lo + chunk_sz]
+                   for lo in range(0, len(paths), chunk_sz)]
 
 
 def _run_chunks(chunks: List[List[str]], cfg: AnnotateConfig,
@@ -815,8 +826,12 @@ def _run_chunks(chunks: List[List[str]], cfg: AnnotateConfig,
                     all_errors[k].extend(v)
                 yield prepared
 
+        # DP sub-batch size from the LARGEST chunk, not the ramp-up one
+        big = max(len(c) for c in chunks)
+        hint = max(8, min(cfg.dp_batch_size, -(-big // 2)))
         n_ok, perrors, chist = process_prepared(prepared_iter(), cfg, fasta,
-                                                progress=progress)
+                                                progress=progress,
+                                                sub_hint=hint)
     for k, v in perrors.items():
         all_errors[k].extend(v)
     return n_ok, dict(all_errors), chist
