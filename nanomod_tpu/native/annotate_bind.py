@@ -189,12 +189,8 @@ def annotate_codes_batch_native(codes: np.ndarray, best_i: np.ndarray,
     sig_p = (ctypes.c_void_p * n)()
     sig_l = np.empty(n, np.int64)
     strands = np.empty(n, np.uint8)
-    gcache = {}
     for i, r in enumerate(reads):
-        g = gcache.get(r.chrom)
-        if g is None:
-            g = np.ascontiguousarray(fasta.get_bytes(r.chrom))
-            gcache[r.chrom] = g
+        g = fasta.get_bytes(r.chrom)      # memoized contiguous uint8
         sq = np.frombuffer(r.fwd_seq.encode("ascii"), np.uint8)
         es = np.ascontiguousarray(r.events_start, np.int64)
         el = np.ascontiguousarray(r.events_length, np.int64)

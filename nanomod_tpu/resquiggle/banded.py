@@ -399,8 +399,7 @@ def traceback_batch_native(tb: np.ndarray, best_i: np.ndarray,
         ot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         oa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ob.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
-        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nthreads,
-        1 if packed else 0)
+        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nthreads)
     return [(ot[b, : out_n[b]].copy(), oa[b, : out_n[b]].copy(),
              ob[b, : out_n[b]].copy()) for b in range(bsz)]
 

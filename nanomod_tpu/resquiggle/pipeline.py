@@ -57,6 +57,12 @@ def _host_workers(cfg: AnnotateConfig, cap: int = 16) -> int:
     return max(1, min(cfg.threads, os.cpu_count() or 1, cap))
 
 
+def _min_score(cfg: AnnotateConfig, read_len: int) -> int:
+    """Alignment acceptance threshold — ONE definition for the batched
+    native path, the per-read fallback, and the tests."""
+    return max(20, int(0.3 * cfg.match_score * read_len))
+
+
 def _length_bucket(m: int, buckets=(256, 512, 1024, 2048, 4096, 8192, 16384)) -> int:
     for b in buckets:
         if m <= b:
@@ -228,8 +234,7 @@ def finish_alignment(batch: DPBatch, cfg: AnnotateConfig):
             nthreads=nthreads)
     out = []
     for i, r in enumerate(reads):
-        min_score = max(20, int(0.3 * cfg.match_score * lens[i]))
-        if best[i] < min_score:
+        if best[i] < _min_score(cfg, int(lens[i])):
             out.append((None, int(win_starts[i])))
             continue
         if ops_all is not None:
@@ -531,7 +536,7 @@ def prepare_batch(paths: List[str], cfg: AnnotateConfig,
 
 
 def process_prepared(prepared, cfg: AnnotateConfig,
-                     fasta: FastaIndex, progress=None, sub_hint: int = 0):
+                     fasta: FastaIndex, sub_hint: int = 0):
     """Align + correct + write-back prepared reads.
 
     ``prepared`` is a list OR an iterator of lists (streamed chunks from
@@ -540,8 +545,7 @@ def process_prepared(prepared, cfg: AnnotateConfig,
     sub-batch DPs is kept in flight (JAX dispatch is async) ACROSS chunk
     boundaries — the device computes sub-batch k+1 while the host fetches/
     annotates k, and never stalls between chunks; FAST5 write-back runs on
-    a background thread and overlaps the next fetch.  ``progress(n)`` (if
-    given) is called as each chunk enters the DP stream.
+    a background thread and overlaps the next fetch.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -560,8 +564,6 @@ def process_prepared(prepared, cfg: AnnotateConfig,
         nonlocal n_seen, sub
         for chunk in chunk_iter:
             n_seen += len(chunk)
-            if progress is not None:
-                progress(len(chunk))
             if not chunk:
                 continue
             if sub == 0:
@@ -585,14 +587,15 @@ def process_prepared(prepared, cfg: AnnotateConfig,
     dp_parts = dp_parts_gen()
 
     def dispatch_next():
-        spec = next(dp_parts, None)
-        if spec is None:
-            return None
-        part, pad = spec
-        with stage("align_dp", unit="reads") as s:
-            dpb = dispatch_dp(part, fasta, cfg, pad_bsz=pad)
-            s.add(len(part))
-        return dpb
+        """Next in-flight DPBatch, or None at END OF STREAM (empty parts
+        are skipped here so a None return is unambiguous)."""
+        for part, pad in dp_parts:
+            with stage("align_dp", unit="reads") as s:
+                dpb = dispatch_dp(part, fasta, cfg, pad_bsz=pad)
+                s.add(len(part))
+            if dpb is not None:
+                return dpb
+        return None
 
     n_ok = 0
     write_errors: List[str] = []
@@ -667,8 +670,7 @@ def process_prepared(prepared, cfg: AnnotateConfig,
         lens = dpb.lens
         accept = np.empty(n, np.uint8)
         for i in range(n):
-            accept[i] = best[i] >= max(20, int(0.3 * cfg.match_score
-                                               * lens[i]))
+            accept[i] = best[i] >= _min_score(cfg, int(lens[i]))
         with stage("annotate", unit="reads") as s:
             res = annotate_codes_batch_native(
                 tb[:n], bi[:n], bk[:n], accept, dpb.win_starts[:n],
@@ -716,8 +718,6 @@ def process_prepared(prepared, cfg: AnnotateConfig,
             nxt = dispatch_next()
             if nxt is not None:
                 window.append(nxt)
-            if dpb is None:
-                continue
             if use_batch_annotate and dpb.mode in ("codes", "codes2"):
                 yield "done", dpb.reads, annotate_batch_fast(dpb)
                 continue
@@ -824,13 +824,16 @@ def _run_chunks(chunks: List[List[str]], cfg: AnnotateConfig,
                        if ci + 1 < len(chunks) else None)
                 for k, v in errors.items():
                     all_errors[k].extend(v)
+                if progress is not None:
+                    # heartbeat in FILE units, fired when the chunk's
+                    # prepare lands (annotate/write for it still overlap)
+                    progress(len(chunks[ci]))
                 yield prepared
 
         # DP sub-batch size from the LARGEST chunk, not the ramp-up one
         big = max(len(c) for c in chunks)
         hint = max(8, min(cfg.dp_batch_size, -(-big // 2)))
         n_ok, perrors, chist = process_prepared(prepared_iter(), cfg, fasta,
-                                                progress=progress,
                                                 sub_hint=hint)
     for k, v in perrors.items():
         all_errors[k].extend(v)
@@ -907,8 +910,8 @@ def annotate_folder(cfg: AnnotateConfig):
         done += n
         dt = time.time() - start
         if cfg.out_level <= 1 and done < len(paths):
-            print(f"{done}/{len(paths)} reads, "
-                  f"{done / max(dt, 1e-9):.1f} reads/s")
+            print(f"{done}/{len(paths)} files prepared, "
+                  f"{done / max(dt, 1e-9):.1f} files/s")
 
     total_ok, all_errors, all_hist = _run_chunks(
         chunks, cfg, fasta, seed_index, kmer_model, progress=progress)

@@ -315,9 +315,10 @@ def test_annotate_codes_batch_matches_per_read(tmp_path):
     tb, best, bi, bk = unpack_outputs(np.asarray(batch.packed),
                                       batch.tail_shape)
     n = len(prepared)
+    from nanomod_tpu.resquiggle.pipeline import _min_score
     accept = np.array(
-        [best[i] >= max(20, int(0.3 * cfg.match_score * batch.lens[i]))
-         for i in range(n)], np.uint8)
+        [best[i] >= _min_score(cfg, int(batch.lens[i])) for i in range(n)],
+        np.uint8)
     res = annotate_codes_batch_native(
         tb[:n], bi[:n], bk[:n], accept, batch.win_starts[:n], prepared,
         fasta, cfg.min_num_signal, cfg.resegment_signal_wind,
