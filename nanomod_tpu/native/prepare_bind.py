@@ -155,12 +155,14 @@ def native_prepare_batch(paths: List[str], basecall_1d: str,
         read_id = ids_b[io: io + ni].decode(errors="replace")
         # fastq header munging (ref myFast5.py read id handling)
         read_id = read_id.replace(" ", ":::").replace("\t", "|||")
+        # views into the batch buffers (no per-read copies; ~0.2 MB/read
+        # of memcpy saved) — the base arrays stay alive via the views
         out.append(PreparedRaw(
             read_id=read_id,
             seq=seq_b[eo: eo + ne].decode(errors="replace"),
-            ev_start=ev_s[eo: eo + ne].copy(),
-            ev_length=ev_l[eo: eo + ne].copy(),
-            norm_signal=norm[so: so + ns].copy(),
+            ev_start=ev_s[eo: eo + ne],
+            ev_length=ev_l[eo: eo + ne],
+            norm_signal=norm[so: so + ns],
         ))
         eo += ne
         so += ns

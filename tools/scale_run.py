@@ -59,7 +59,12 @@ def gen_group(folder, genome_arr, levels, rng, planted=None):
         strand = "+-"[int(rng.integers(2))]
         start = int(rng.integers(0, GENOME_LEN - READ_LEN + 1))
         gpos = np.arange(start, start + READ_LEN)
-        means = levels[i % 2][gpos] + rng.normal(0.0, 0.3, READ_LEN)
+        # level track keyed by STRAND (a physical per-(pos,strand) k-mer
+        # level), not by read index: with random strands, levels[i % 2]
+        # would mix two ~N(0,1)-apart tracks inside every (pos,strand)
+        # pool, drowning the planted shift in bimodal within-pool spread
+        # (measured: 19/20 planted sites in top-50 -> 0/20)
+        means = levels[strand == "-"][gpos] + rng.normal(0.0, 0.3, READ_LEN)
         if planted is not None:
             # bulky-adduct profile: full shift at the site, half at ±1
             # (what the ±k neighbor combination exists to capture,
