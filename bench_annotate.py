@@ -53,12 +53,16 @@ def main():
     sidx = SeedIndex(fasta.seqs, k=cfg.seed_k)
 
     # warmup (compiles; full batch so the measured run reuses the same
-    # jit shapes — the DP is bucketed by batch size and read length)
+    # jit shapes — the DP is bucketed by batch size and read length);
+    # median of 3 — single runs swing 2x with tunnel stalls
+    import numpy as _np
     annotate_files(paths, cfg, fasta, sidx)
-    t0 = time.time()
-    n_ok, errors, _ = annotate_files(paths, cfg, fasta, sidx)
-    dt = time.time() - t0
-    ours = n_ok / dt
+    rates = []
+    for _ in range(int(os.environ.get("BENCH_ANNOTATE_REPEAT", 3))):
+        t0 = time.time()
+        n_ok, errors, _ = annotate_files(paths, cfg, fasta, sidx)
+        rates.append(n_ok / (time.time() - t0))
+    ours = float(_np.median(rates))
 
     # baseline stand-in: python correction core on a sample (the aligner and
     # IO are shared; the correction core is where the reference's Python
