@@ -268,3 +268,45 @@ def test_native_seed_batch_matches_python():
         assert (hn.chrom, hn.strand) == (hp.chrom, hp.strand)
         assert abs(hn.diag - hp.diag) <= 24   # same band (slack 48)
     assert hits_n[-1] is None and hits_n[-2] is None
+
+
+def test_streaming_chunks_with_failures(tmp_path):
+    """The cross-chunk DP stream (pipeline._run_chunks) must annotate every
+    good read and classify every bad file across multiple chunks, ramp-up
+    chunk included (files_per_thread forced small to exercise >=4 chunks)."""
+    import os
+
+    from fixtures import make_genome, make_raw_dataset
+    from nanomod_tpu.config import AnnotateConfig, replace
+    from nanomod_tpu.io.fast5 import read_corrected_events
+    from nanomod_tpu.resquiggle import annotate_files
+
+    chrom, genome = make_genome(length=700, seed=31)
+    fasta_p = str(tmp_path / "ref.fa")
+    with open(fasta_p, "w") as f:
+        f.write(f">{chrom}\n{genome}\n")
+    rd = str(tmp_path / "reads")
+    paths = make_raw_dataset(rd, chrom, genome, n_reads=40, seed=32,
+                             error_rate=0.03)
+    # corrupt a file in what will be the ramp-up chunk and one later
+    for idx in (3, 30):
+        with open(paths[idx], "wb") as f:
+            f.write(b"not an hdf5 file at all")
+    cfg = replace(AnnotateConfig(wrk_base1=rd, ref_fasta=fasta_p),
+                  files_per_thread=8, use_pallas_dp=False)
+    # _chunked ramp-up needs >=192 files to trigger; emulate chunking by
+    # calling annotate_files (chunks of max(64,...)=64 -> single chunk for
+    # 40 files) AND the explicit multi-chunk path via _chunked monkeypatch
+    from nanomod_tpu.resquiggle import pipeline as pl
+    chunks = [paths[:5], paths[5:20], paths[20:28], paths[28:]]
+    fasta = pl.FastaIndex(fasta_p)
+    sidx = pl.SeedIndex(fasta.seqs, k=cfg.seed_k)
+    n_ok, errors, hist = pl._run_chunks(chunks, cfg, fasta, sidx, None)
+    n_err = sum(len(v) for v in errors.values())
+    assert n_ok == 38, (n_ok, errors)
+    assert n_err == 2
+    # every good file actually carries the corrected group now
+    n_with = sum(
+        1 for p in paths
+        if read_corrected_events(p) is not None)
+    assert n_with == 38
