@@ -116,4 +116,252 @@ void nm_radix_sort_u64(u64* keys, i64 n, u64* scratch, int nthreads) {
     if (np_ & 1) memcpy(keys, scratch, (size_t)n * sizeof(u64));
 }
 
+// Grouped variant for keys whose HIGH bits group the data (the pool-build
+// composite key: position<<35 | monotone-float<<3 | code): LSD radix over
+// bytes >= lo_byte only (<=4 scatter passes instead of 8), then run-local
+// std::sort of each equal-high run in parallel.  Runs are tiny (coverage-
+// sized) and contiguous, so the local sorts are cache-resident — measured
+// ~2.5x the full 8-pass radix at 105M keys (the scatter's random writes
+// across an 840 MB array dominate; halving the passes halves them and the
+// local sort pass is nearly free).  Correct because bytes >= lo_byte are
+// more significant than the rest: concatenating fully-sorted equal-high
+// runs yields the global order.
+void nm_radix_sort_u64_hi(u64* keys, i64 n, u64* scratch, int nthreads,
+                          int lo_byte) {
+    if (n <= 1) return;
+    int nt = std::max(1, std::min(nthreads, 32));
+    if (n < (1 << 16) || lo_byte <= 0 || lo_byte > 7) {
+        std::sort(keys, keys + n);
+        return;
+    }
+    const int hi_shift = 8 * lo_byte;
+    // which high bytes vary?
+    u64 all_or = 0, all_and = ~0ULL;
+    {
+        std::vector<std::thread> ts;
+        std::vector<u64> ors(nt, 0), ands(nt, ~0ULL);
+        i64 per = (n + nt - 1) / nt;
+        for (int t = 0; t < nt; t++)
+            ts.emplace_back([&, t]() {
+                u64 o = 0, a = ~0ULL;
+                for (i64 i = t * per; i < std::min(n, (t + 1) * per); i++) {
+                    o |= keys[i];
+                    a &= keys[i];
+                }
+                ors[t] = o; ands[t] = a;
+            });
+        for (auto& th : ts) th.join();
+        for (int t = 0; t < nt; t++) { all_or |= ors[t]; all_and &= ands[t]; }
+    }
+    u64 varying = all_or & ~all_and;
+    int passes[8], np_ = 0;
+    for (int byte = lo_byte; byte < 8; byte++)
+        if ((varying >> (8 * byte)) & 0xFF) passes[np_++] = byte;
+
+    if (np_ > 0) {
+        std::vector<i64> hist((size_t)nt * 256);
+        Barrier bar(nt);
+        u64* src = keys;
+        u64* dst = scratch;
+        i64 per = (n + nt - 1) / nt;
+        std::vector<std::thread> ts;
+        auto worker = [&](int t) {
+            i64 lo = t * per, hi = std::min(n, (t + 1) * per);
+            u64* s = src; u64* d = dst;
+            for (int p = 0; p < np_; p++) {
+                int shift = 8 * passes[p];
+                i64* h = &hist[(size_t)t * 256];
+                memset(h, 0, 256 * sizeof(i64));
+                for (i64 i = lo; i < hi; i++) h[(s[i] >> shift) & 0xFF]++;
+                bar.wait();
+                if (t == 0) {
+                    i64 run = 0;
+                    for (int digit = 0; digit < 256; digit++)
+                        for (int th = 0; th < nt; th++) {
+                            i64 c = hist[(size_t)th * 256 + digit];
+                            hist[(size_t)th * 256 + digit] = run;
+                            run += c;
+                        }
+                }
+                bar.wait();
+                i64 offs[256];
+                memcpy(offs, &hist[(size_t)t * 256], sizeof(offs));
+                for (i64 i = lo; i < hi; i++)
+                    d[offs[(s[i] >> shift) & 0xFF]++] = s[i];
+                std::swap(s, d);
+                bar.wait();
+            }
+        };
+        for (int t = 1; t < nt; t++) ts.emplace_back(worker, t);
+        worker(0);
+        for (auto& th : ts) th.join();
+        if (np_ & 1) memcpy(keys, scratch, (size_t)n * sizeof(u64));
+    }
+
+    // parallel run-local sort: thread t owns every run that STARTS in
+    // [t*per, (t+1)*per)
+    {
+        i64 per = (n + nt - 1) / nt;
+        std::vector<std::thread> ts;
+        auto worker = [&](int t) {
+            i64 lo = t * per, hi = std::min(n, (t + 1) * per);
+            if (lo >= n) return;
+            // skip forward to the first run start at/after lo
+            i64 i = lo;
+            if (i > 0) {
+                u64 h = keys[i - 1] >> hi_shift;
+                while (i < hi && (keys[i] >> hi_shift) == h) i++;
+            }
+            while (i < hi) {
+                u64 h = keys[i] >> hi_shift;
+                i64 j = i + 1;
+                while (j < n && (keys[j] >> hi_shift) == h) j++;
+                if (j - i > 1) std::sort(keys + i, keys + j);
+                i = j;
+            }
+        };
+        for (int t = 1; t < nt; t++) ts.emplace_back(worker, t);
+        worker(0);
+        for (auto& th : ts) th.join();
+    }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused pool-build passes (accum/pools.pack_observations fast path).  The
+// numpy pipeline spent ~45 s per 105M observations in ~30 single-threaded
+// elementwise passes (key build, monotone float transforms, astype churn,
+// repeat/arange, fancy-index scatter); these three functions do the same
+// work in 4 threaded passes around one numpy SIMD sort.
+
+namespace {
+typedef uint32_t u32;
+
+inline u32 float_monotone(float v) {
+    u32 u;
+    memcpy(&u, &v, 4);
+    return (u & 0x80000000u) ? ~u : (u | 0x80000000u);
+}
+
+inline float monotone_float(u32 m) {
+    u32 u = (m & 0x80000000u) ? (m ^ 0x80000000u) : ~m;
+    float v;
+    memcpy(&v, &u, 4);
+    return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// key[i] = (pos[i]-pmin)<<35 | monotone(val[i])<<3 | (cod[i]&7)
+void nm_pack_key(const i64* pos, const float* val, const int8_t* cod,
+                 i64 n, i64 pmin, u64* key, int nthreads) {
+    int nt = std::max(1, std::min(nthreads, 32));
+    i64 per = (n + nt - 1) / nt;
+    std::vector<std::thread> ts;
+    auto worker = [&](int t) {
+        i64 lo = t * per, hi = std::min(n, (t + 1) * per);
+        for (i64 i = lo; i < hi; i++)
+            key[i] = ((u64)(pos[i] - pmin) << 35)
+                     | ((u64)float_monotone(val[i]) << 3)
+                     | ((u64)cod[i] & 7);
+    };
+    for (int t = 1; t < nt; t++) ts.emplace_back(worker, t);
+    worker(0);
+    for (auto& th : ts) th.join();
+}
+
+// One pass over the SORTED keys: number of distinct positions and the
+// deepest position's count.
+i64 nm_pack_scan(const u64* key, i64 n, i64* cap_out) {
+    if (n == 0) { *cap_out = 1; return 0; }
+    i64 p_total = 1, cap = 1, run = 1;
+    u64 prev = key[0] >> 35;
+    for (i64 i = 1; i < n; i++) {
+        u64 p = key[i] >> 35;
+        if (p == prev) {
+            run++;
+        } else {
+            if (run > cap) cap = run;
+            run = 1;
+            p_total++;
+            prev = p;
+        }
+    }
+    if (run > cap) cap = run;
+    *cap_out = cap;
+    return p_total;
+}
+
+// Fill uniq [P] i64, counts [P] i32, values [P,cap] f32 (zero padded),
+// base_code [P] u8 (majority vote over 5 codes, first-max wins like
+// np.argmax) from the sorted keys.  Threaded: each thread owns the runs
+// STARTING in its range; row indices come from a counted prefix.
+void nm_pack_fill(const u64* key, i64 n, i64 pmin, i64 cap,
+                  i64* uniq, int32_t* counts, float* values,
+                  uint8_t* base_code, int nthreads) {
+    if (n == 0) return;
+    int nt = std::max(1, std::min(nthreads, 32));
+    i64 per = (n + nt - 1) / nt;
+    // pass 1: run starts per thread range (a run starts at i==0 or where
+    // the position changes)
+    std::vector<i64> starts(nt, 0);
+    {
+        std::vector<std::thread> ts;
+        auto worker = [&](int t) {
+            i64 lo = t * per, hi = std::min(n, (t + 1) * per);
+            i64 c = 0;
+            for (i64 i = lo; i < hi; i++)
+                if (i == 0 || (key[i] >> 35) != (key[i - 1] >> 35)) c++;
+            starts[t] = c;
+        };
+        for (int t = 1; t < nt; t++) ts.emplace_back(worker, t);
+        worker(0);
+        for (auto& th : ts) th.join();
+    }
+    std::vector<i64> row0(nt + 1, 0);
+    for (int t = 0; t < nt; t++) row0[t + 1] = row0[t] + starts[t];
+    // pass 2: fill (each thread walks the full runs that start in its
+    // range; memset of each row's tail keeps the zero pad)
+    {
+        std::vector<std::thread> ts;
+        auto worker = [&](int t) {
+            i64 lo = t * per, hi = std::min(n, (t + 1) * per);
+            if (lo >= n) return;
+            i64 i = lo;
+            if (i > 0) {            // skip a run begun in the previous range
+                u64 h = key[i - 1] >> 35;
+                while (i < hi && (key[i] >> 35) == h) i++;
+            }
+            i64 row = row0[t];
+            while (i < hi) {
+                u64 h = key[i] >> 35;
+                i64 votes[5] = {0, 0, 0, 0, 0};
+                float* vrow = values + row * cap;
+                i64 j = i;
+                for (; j < n && (key[j] >> 35) == h; j++) {
+                    vrow[j - i] = monotone_float(
+                        (u32)((key[j] >> 3) & 0xFFFFFFFFu));
+                    int c = (int)(key[j] & 7);
+                    votes[c > 4 ? 4 : c]++;
+                }
+                for (i64 z = j - i; z < cap; z++) vrow[z] = 0.0f;
+                uniq[row] = (i64)h + pmin;
+                counts[row] = (int32_t)(j - i);
+                int bc = 0;
+                for (int c = 1; c < 5; c++)
+                    if (votes[c] > votes[bc]) bc = c;
+                base_code[row] = (uint8_t)bc;
+                row++;
+                i = j;
+            }
+        };
+        for (int t = 1; t < nt; t++) ts.emplace_back(worker, t);
+        worker(0);
+        for (auto& th : ts) th.join();
+    }
+}
+
 }  // extern "C"

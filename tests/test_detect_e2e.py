@@ -201,3 +201,39 @@ def test_pool_capacity_cap():
     # determinism
     again = build(64)
     np.testing.assert_array_equal(capped.values, again.values)
+
+
+def test_native_pack_matches_numpy_pipeline():
+    """The fused native pool build (sort_core.cpp nm_pack_*) must produce
+    byte-identical PositionPools to the numpy pipeline, including the
+    first-max majority base vote and zero padding."""
+    import unittest.mock as mock
+
+    import numpy as np
+
+    from nanomod_tpu.accum import pools as P
+
+    if not P.load_native_available():
+        return
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        n = 300_000
+        pos = rng.integers(0, 40_000, n).astype(np.int64)
+        val = np.round(rng.normal(0, 1, n), 3).astype(np.float32)
+        cod = rng.integers(0, 5, n).astype(np.int8)
+        a = P.pack_observations("c", "+", pos, val, cod)
+        with mock.patch.object(P, "_pack_native", lambda *a_, **k: None):
+            b = P.pack_observations("c", "+", pos, val, cod)
+        assert np.array_equal(a.positions, b.positions)
+        assert np.array_equal(a.counts, b.counts)
+        assert a.values.shape == b.values.shape
+        assert a.values.tobytes() == b.values.tobytes()
+        assert np.array_equal(a.base, b.base)
+    # vote tie -> np.argmax first-max semantics
+    pos = np.zeros(4, np.int64)
+    val = np.float32([1, 2, 3, 4])
+    cod = np.int8([1, 1, 0, 0])
+    a = P.pack_observations("c", "+", pos, val, cod)
+    with mock.patch.object(P, "_pack_native", lambda *a_, **k: None):
+        b = P.pack_observations("c", "+", pos, val, cod)
+    assert np.array_equal(a.base, b.base)
