@@ -33,6 +33,8 @@ _EXTRA_FLAGS = {
 _OPTIONAL_FLAGS = {
     "fast5_write": [["-l:libdeflate.so.0"], ["-ldeflate"],
                     ["-DNO_LIBDEFLATE"]],
+    "fast5_ingest": [["-l:libdeflate.so.0"], ["-ldeflate"],
+                     ["-DNO_LIBDEFLATE"]],
 }
 
 

@@ -27,6 +27,9 @@
 #include <stdexcept>
 
 #include <zlib.h>
+#ifndef NO_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 namespace {
 
@@ -570,6 +573,25 @@ void unshuffle(std::vector<u8>& data, u32 elem) {
 }
 
 bool inflate_buf(const u8* src, u64 srclen, std::vector<u8>& dst) {
+#ifndef NO_LIBDEFLATE
+    // libdeflate decompresses ~2-3x zlib's speed; the output size is
+    // exactly known (HDF5 chunk byte count), which is its required mode.
+    thread_local struct LD {
+        libdeflate_decompressor* d = nullptr;
+        ~LD() { if (d) libdeflate_free_decompressor(d); }
+    } ld;
+    if (ld.d == nullptr) ld.d = libdeflate_alloc_decompressor();
+    if (ld.d != nullptr) {
+        size_t got = 0;
+        libdeflate_result r = libdeflate_zlib_decompress(
+            ld.d, src, srclen, dst.data(), dst.size(), &got);
+        if (r == LIBDEFLATE_SUCCESS)
+            return got == dst.size();
+        if (r != LIBDEFLATE_BAD_DATA)
+            return false;
+        // BAD_DATA: fall through to zlib (tolerates some stream quirks)
+    }
+#endif
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
     if (inflateInit(&zs) != Z_OK) return false;
