@@ -14,9 +14,15 @@ data-parallel:
              per-position p-value vectors are all_gathered for the
              neighbor-combination stencil (halo window ≪ shard size)
 
-`distributed_detect_step` is the full jitted multi-chip step: scatter-add
-accumulation + psum merge + rank/KS components + all_gather, suitable both
-for real pods and for the 8-virtual-device CPU mesh used in tests.
+`distributed_detect_step` is a SELF-CONTAINED jitted multi-chip step
+(scatter-add accumulation + psum merge + rank/KS components + all_gather)
+kept as the compile-check harness and the minimal readable model of the
+sharding layout; the PRODUCTION multi-chip paths are
+parallel/sharded.py (position-sharded battery + ppermute halo
+combination, used by detect.detect_from_pools) and parallel/shardmerge.py
+(multi-host all-to-all observation routing) — both byte-validated against
+the single-device pipeline in tests/test_shardmerge.py and the driver
+dry run.
 """
 
 from __future__ import annotations
