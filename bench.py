@@ -50,7 +50,7 @@ def bench_ours(values1, counts1, values2, counts2, positions, repeat=5):
 
     def once():
         res = run_battery(values1, counts1, values2, counts2,
-                          cfg=cfg, tile_positions=32768)
+                          cfg=cfg, tile_positions=16384)
         stc, pc = combine_neighbor_pvalues(gid, positions, res.pks, cfg)
         order = np.lexsort((res.pu, res.pks, pc))
         return order[0]
