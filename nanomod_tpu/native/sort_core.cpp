@@ -10,6 +10,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -224,6 +225,149 @@ void nm_radix_sort_u64_hi(u64* keys, i64 n, u64* scratch, int nthreads,
         worker(0);
         for (auto& th : ts) th.join();
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host two-sample battery (stats/battery.py host backend).  Computes the
+// SAME exact integer components as the device kernels
+// (stats/kernels._pairwise_components + _milli_exact_sums): KS numerator
+// max|le_a*n2 - le_b*n1|, doubled tie-averaged rank sum of group 1, tie
+// correction sum Σ(t^3 - t) as Σ_elements(t^2 - 1), and exact milli-domain
+// Σx / Σx² per group.  Used when the host<->device link is too slow to
+// ship the raw pools (the tunneled-TPU bench topology: measured ~65 MB/s
+// steady-state vs ~18 GB/s of HBM on-chip); selection lives in Python.
+// Replaces the reference's per-position scipy loop (myDetect.py:416-438).
+
+namespace {
+
+// merge-walk of the two per-row sorted groups, advancing one tie-run of
+// the POOLED sample at a time
+struct RowStats {
+    i64 ks_num, trs, ties, s1, sq1, s2, sq2;
+};
+
+inline void battery_row(const int16_t* a, int n1, const int16_t* b, int n2,
+                        RowStats* out) {
+    i64 ks = 0, trs = 0, ties = 0;
+    int ia = 0, ib = 0;
+    while (ia < n1 || ib < n2) {
+        int v;
+        if (ia < n1 && (ib >= n2 || a[ia] <= b[ib])) v = a[ia];
+        else v = b[ib];
+        int ka = 0, kb = 0;
+        while (ia + ka < n1 && a[ia + ka] == v) ka++;
+        while (ib + kb < n2 && b[ib + kb] == v) kb++;
+        int t = ka + kb;
+        i64 le_a = ia + ka, le_b = ib + kb;
+        i64 le = le_a + le_b;          // #{pooled <= v}
+        i64 lt = le - t;               // #{pooled <  v}
+        i64 num = le_a * (i64)n2 - le_b * (i64)n1;
+        if (num < 0) num = -num;
+        if (num > ks) ks = num;
+        // group-1 elements of this run: 2r = cnt_lt + cnt_le + 1 each
+        trs += (i64)ka * (lt + le + 1);
+        ties += (i64)t * ((i64)t * t - 1);
+        ia += ka;
+        ib += kb;
+    }
+    out->ks_num = ks;
+    out->trs = trs;
+    out->ties = ties;
+}
+
+}  // namespace
+
+extern "C" {
+
+// values* are the pool arrays [p, c*] (row stride = c*): f32 when is_i16
+// is 0, int16 milli values when is_i16 is 1.  counts* are the true per-row
+// sizes (clamped to >= 1 with a zero value for empty rows, matching the
+// device tiler's zero pad + count clamp).  On the f32 path every valid
+// value must satisfy the system-wide 3-decimal milli invariant (|v*1000| <
+// 32767 and within 0.01 of an integer after rounding, ref
+// myRefBaseSignalAnnotation.py:259); on failure the function returns 1
+// WITHOUT filling outputs (caller falls back to the device f32 path).
+// Returns 0 on success.
+int nm_battery_milli(const void* values1v, const int32_t* counts1, i64 c1,
+                     const void* values2v, const int32_t* counts2, i64 c2,
+                     i64 p, int is_i16,
+                     int32_t* ks_num, int32_t* trs, int32_t* ties,
+                     i64* s1, i64* sq1, i64* s2, i64* sq2,
+                     int nthreads) {
+    const float* values1 = (const float*)values1v;
+    const float* values2 = (const float*)values2v;
+    const int16_t* ivalues1 = (const int16_t*)values1v;
+    const int16_t* ivalues2 = (const int16_t*)values2v;
+    int nt = std::max(1, std::min(nthreads, 32));
+    i64 per = (p + nt - 1) / nt;
+    std::atomic<i64> bad{-1};
+    std::vector<std::thread> ts;
+    auto worker = [&](int t) {
+        std::vector<int16_t> buf1((size_t)c1), buf2((size_t)c2);
+        i64 lo = t * per, hi = std::min(p, (t + 1) * per);
+        for (i64 r = lo; r < hi; r++) {
+            if (bad.load(std::memory_order_relaxed) >= 0) return;
+            int n1 = counts1[r] < 1 ? 1 : counts1[r];
+            int n2 = counts2[r] < 1 ? 1 : counts2[r];
+            if (n1 > c1) n1 = (int)c1;
+            if (n2 > c2) n2 = (int)c2;
+            i64 ls1 = 0, lq1 = 0, ls2 = 0, lq2 = 0;
+            if (is_i16) {
+                const int16_t* v1 = ivalues1 + r * c1;
+                const int16_t* v2 = ivalues2 + r * c2;
+                for (int i = 0; i < n1; i++) {
+                    int16_t m = counts1[r] < 1 ? (int16_t)0 : v1[i];
+                    buf1[i] = m;
+                    ls1 += m; lq1 += (i64)m * m;
+                }
+                for (int i = 0; i < n2; i++) {
+                    int16_t m = counts2[r] < 1 ? (int16_t)0 : v2[i];
+                    buf2[i] = m;
+                    ls2 += m; lq2 += (i64)m * m;
+                }
+            } else {
+                const float* v1 = values1 + r * c1;
+                const float* v2 = values2 + r * c2;
+                for (int i = 0; i < n1; i++) {
+                    float v = counts1[r] < 1 ? 0.0f : v1[i];
+                    float sc = v * 1000.0f;
+                    float rd = nearbyintf(sc);
+                    if (!(fabsf(sc) < 32767.0f) || !(fabsf(sc - rd) < 0.01f)) {
+                        bad.store(r); return;
+                    }
+                    int16_t m = (int16_t)rd;
+                    buf1[i] = m;
+                    ls1 += m; lq1 += (i64)m * m;
+                }
+                for (int i = 0; i < n2; i++) {
+                    float v = counts2[r] < 1 ? 0.0f : v2[i];
+                    float sc = v * 1000.0f;
+                    float rd = nearbyintf(sc);
+                    if (!(fabsf(sc) < 32767.0f) || !(fabsf(sc - rd) < 0.01f)) {
+                        bad.store(r); return;
+                    }
+                    int16_t m = (int16_t)rd;
+                    buf2[i] = m;
+                    ls2 += m; lq2 += (i64)m * m;
+                }
+            }
+            std::sort(buf1.begin(), buf1.begin() + n1);
+            std::sort(buf2.begin(), buf2.begin() + n2);
+            RowStats st;
+            battery_row(buf1.data(), n1, buf2.data(), n2, &st);
+            ks_num[r] = (int32_t)st.ks_num;
+            trs[r] = (int32_t)st.trs;
+            ties[r] = (int32_t)st.ties;
+            s1[r] = ls1; sq1[r] = lq1;
+            s2[r] = ls2; sq2[r] = lq2;
+        }
+    };
+    for (int t = 1; t < nt; t++) ts.emplace_back(worker, t);
+    worker(0);
+    for (auto& th : ts) th.join();
+    return bad.load() >= 0 ? 1 : 0;
 }
 
 }  // extern "C"

@@ -103,23 +103,21 @@ def _tile_slice(values, counts, lo, hi, cap, p_tile):
     return v, c
 
 
-def finalize_packed(packed: np.ndarray, n_rows: int, n1: np.ndarray,
-                    n2: np.ndarray, cap_np: np.ndarray | None, cov: int,
-                    is_milli: bool, want_mstd: bool) -> dict:
-    """Host float64 finalization of one fetched packed-component block.
+def finalize_exact_components(ks_num, two_rank_sum, tie_sum, n1, n2,
+                              sum1, sumsq1, sum2, sumsq2,
+                              cap_np, cov, want_mstd) -> dict:
+    """Host float64 finalization from exact integer battery components.
 
-    packed [7|9, >=n_rows] from battery_components_packed[_milli]; cap_np
-    the fetched capped-KS D (or None); n1/n2 the TRUE counts [n_rows].
-    Shared by the single-device tile loop (run_battery) and the
-    position-sharded multi-chip path (parallel/sharded.py) so both produce
-    bit-identical statistics from identical device components.
+    ks_num/two_rank_sum/tie_sum int32 [P]; sum*/sumsq* exact int64
+    milli-domain Σx / Σx²; cap_np the capped-KS numerator (or None); n1/n2
+    the TRUE counts.  Shared by the device milli path (finalize_packed),
+    the position-sharded multi-chip path (parallel/sharded.py) and the
+    native host backend (sort_core.cpp nm_battery_milli) — all three
+    produce bit-identical statistics from identical integer components.
     Returns {stu, pu, stt, pt, stks, pks[, mstd]}.
     """
-    sl = slice(0, n_rows)
+    n_rows = len(ks_num)
     out = {}
-    two_rank_sum = packed[1].view(np.int32)[sl]
-    tie_sum = packed[2].view(np.int32)[sl]
-
     n1f = n1.astype(np.float64)
     n2f = n2.astype(np.float64)
 
@@ -128,39 +126,25 @@ def finalize_packed(packed: np.ndarray, n_rows: int, n1: np.ndarray,
     out["stu"] = special.clamp_stat(u_min)
     out["pu"] = special.clamp_p(special.mwu_pvalue(zstat))
 
-    # Welch t (ref myDetect.py:335-337).  Milli tiles carry exact integer
-    # Σ/Σx² -> f64-exact moments; f32 tiles use the two-pass f32 device
-    # moments with documented ~1e-6 relative tolerance.
-    if is_milli:
-        i32 = lambda row: packed[row].view(np.int32)[sl]
-        t, df, (va1, va2), (m1, m2), (ssx1, ssx2) = \
-            kernels.welch_finalize_exact(
-                i32(3), i32(4), i32(5), n1, i32(6), i32(7), i32(8), n2)
-    else:
-        m1, m2 = packed[3][sl], packed[5][sl]
-        t, df, (va1, va2) = kernels.welch_finalize(
-            m1, packed[4][sl], n1, m2, packed[6][sl], n2)
-        ssx1 = ssx2 = None
+    # Welch t (ref myDetect.py:335-337) from exact integer Σ/Σx²
+    t, df, (va1, va2), (m1, m2), (ssx1, ssx2) = \
+        kernels.welch_finalize_exact(sum1, sumsq1, n1, sum2, sumsq2, n2)
     out["stt"] = special.clamp_stat(t)
     out["pt"] = special.clamp_p(special.welch_pvalue(t, df))
     if want_mstd:
         mstd = np.empty((n_rows, 4), dtype=np.float64)
         mstd[:, 0] = m1
         mstd[:, 2] = m2
-        if ssx1 is not None:
-            # population std straight from the exact decimal-domain sums
-            mstd[:, 1] = np.sqrt(np.maximum(ssx1, 0.0) / np.maximum(n1f, 1))
-            mstd[:, 3] = np.sqrt(np.maximum(ssx2, 0.0) / np.maximum(n2f, 1))
-        else:
-            mstd[:, 1] = np.sqrt(va1 * np.maximum(n1f - 1, 1) / np.maximum(n1f, 1))
-            mstd[:, 3] = np.sqrt(va2 * np.maximum(n2f - 1, 1) / np.maximum(n2f, 1))
+        # population std straight from the exact decimal-domain sums
+        mstd[:, 1] = np.sqrt(np.maximum(ssx1, 0.0) / np.maximum(n1f, 1))
+        mstd[:, 3] = np.sqrt(np.maximum(ssx2, 0.0) / np.maximum(n2f, 1))
         out["mstd"] = mstd
 
     # KS, with optional capped repeated-subsample variant
-    # (ref myDetect.py:339-361).  The device ships the exact integer
-    # numerator; D = num/(n1*n2) in f64 is bit-identical to an exact
-    # rational oracle (no f32 perturbation of formatted p-values).
-    d_plain = packed[0].view(np.int32)[sl].astype(np.float64) / (n1f * n2f)
+    # (ref myDetect.py:339-361).  D = num/(n1*n2) in f64 is bit-identical
+    # to an exact rational oracle (no f32 perturbation of formatted
+    # p-values).
+    d_plain = ks_num.astype(np.float64) / (n1f * n2f)
     if cov > 0:
         need_cap = (n1 > cov) | (n2 > cov)
     else:
@@ -168,7 +152,8 @@ def finalize_packed(packed: np.ndarray, n_rows: int, n1: np.ndarray,
     if cap_np is not None and need_cap.any():
         ne1 = np.minimum(n1f, cov)
         ne2 = np.minimum(n2f, cov)
-        d_cap = cap_np[sl].astype(np.float64) / (ne1 * ne2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d_cap = cap_np.astype(np.float64) / (ne1 * ne2)
         d_sel = np.where(need_cap, d_cap, d_plain)
         p_ks = np.where(
             need_cap,
@@ -183,6 +168,230 @@ def finalize_packed(packed: np.ndarray, n_rows: int, n1: np.ndarray,
     return out
 
 
+def finalize_packed(packed: np.ndarray, n_rows: int, n1: np.ndarray,
+                    n2: np.ndarray, cap_np: np.ndarray | None, cov: int,
+                    is_milli: bool, want_mstd: bool) -> dict:
+    """Host float64 finalization of one fetched packed-component block.
+
+    packed [7|9, >=n_rows] from battery_components_packed[_milli]; cap_np
+    the fetched capped-KS D (or None); n1/n2 the TRUE counts [n_rows].
+    Shared by the single-device tile loop (run_battery) and the
+    position-sharded multi-chip path (parallel/sharded.py) so both produce
+    bit-identical statistics from identical device components.
+    Returns {stu, pu, stt, pt, stks, pks[, mstd]}.
+    """
+    sl = slice(0, n_rows)
+    i32 = lambda row: packed[row].view(np.int32)[sl]
+    cap_sl = None if cap_np is None else cap_np[sl]
+    if is_milli:
+        sq1 = (i32(4).astype(np.int64) << 15) + i32(5)
+        sq2 = (i32(7).astype(np.int64) << 15) + i32(8)
+        return finalize_exact_components(
+            i32(0), i32(1), i32(2), n1, n2,
+            i32(3).astype(np.int64), sq1, i32(6).astype(np.int64), sq2,
+            cap_sl, cov, want_mstd)
+
+    # f32 tiles: two-pass f32 device moments with documented ~1e-6
+    # relative tolerance on the Welch statistics
+    out = {}
+    two_rank_sum = i32(1)
+    tie_sum = i32(2)
+    n1f = n1.astype(np.float64)
+    n2f = n2.astype(np.float64)
+    u_min, zstat = kernels.mwu_from_components(two_rank_sum, tie_sum, n1, n2)
+    out["stu"] = special.clamp_stat(u_min)
+    out["pu"] = special.clamp_p(special.mwu_pvalue(zstat))
+    m1, m2 = packed[3][sl], packed[5][sl]
+    t, df, (va1, va2) = kernels.welch_finalize(
+        m1, packed[4][sl], n1, m2, packed[6][sl], n2)
+    out["stt"] = special.clamp_stat(t)
+    out["pt"] = special.clamp_p(special.welch_pvalue(t, df))
+    if want_mstd:
+        mstd = np.empty((n_rows, 4), dtype=np.float64)
+        mstd[:, 0] = m1
+        mstd[:, 2] = m2
+        mstd[:, 1] = np.sqrt(va1 * np.maximum(n1f - 1, 1) / np.maximum(n1f, 1))
+        mstd[:, 3] = np.sqrt(va2 * np.maximum(n2f - 1, 1) / np.maximum(n2f, 1))
+        out["mstd"] = mstd
+    d_plain = i32(0).astype(np.float64) / (n1f * n2f)
+    if cov > 0:
+        need_cap = (n1 > cov) | (n2 > cov)
+    else:
+        need_cap = np.zeros(n_rows, dtype=bool)
+    if cap_sl is not None and need_cap.any():
+        ne1 = np.minimum(n1f, cov)
+        ne2 = np.minimum(n2f, cov)
+        d_cap = cap_sl.astype(np.float64) / (ne1 * ne2)
+        d_sel = np.where(need_cap, d_cap, d_plain)
+        p_ks = np.where(
+            need_cap,
+            special.ks_pvalue(d_cap, ne1, ne2),
+            special.ks_pvalue(d_plain, n1f, n2f),
+        )
+    else:
+        d_sel = d_plain
+        p_ks = special.ks_pvalue(d_plain, n1f, n2f)
+    out["stks"] = special.clamp_stat(d_sel)
+    out["pks"] = special.clamp_p(p_ks)
+    return out
+
+
+_AUTO_BACKEND: dict = {"value": None}
+
+
+def _probe_backend() -> str:
+    """One-time auto choice between the device battery and the native host
+    battery, by measuring the STEADY-STATE host->device link.
+
+    The axon-tunneled bench topology degrades permanently to ~30-65 MB/s
+    after the first device->host fetch (any real run fetches results, so
+    that IS the steady state; tools/bench_split.py measures it), while a
+    healthy co-located PCIe link stays at GB/s.  Shipping 200k-position
+    pools costs ~50 MB of H2D: below ~500 MB/s the native battery
+    (sort_core.cpp nm_battery_milli, bit-identical components) beats the
+    link; above it the device kernel wins and keeps the chip hot.
+    """
+    from nanomod_tpu.native.build import load_native
+    lib = load_native("sort_core")
+    if lib is None or not hasattr(lib, "nm_battery_milli"):
+        return "device"
+    import time
+
+    import jax
+    try:
+        # force the runtime into its post-fetch steady mode, then time 2 MB
+        np.asarray(jax.device_put(np.zeros(8, np.int32)))
+        buf = np.zeros(1 << 20, np.int16)
+        jax.block_until_ready(jax.device_put(buf))     # warm path/alloc
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(buf))
+        dt = time.perf_counter() - t0
+    except Exception:
+        return "host"
+    return "device" if dt < 0.004 else "host"
+
+
+def battery_backend() -> str:
+    """Resolved battery backend: NANOMOD_BATTERY_BACKEND env override
+    (device|host|auto), else the cached auto probe."""
+    import os
+    env = os.environ.get("NANOMOD_BATTERY_BACKEND", "auto")
+    if env in ("device", "host"):
+        return env
+    if _AUTO_BACKEND["value"] is None:
+        _AUTO_BACKEND["value"] = _probe_backend()
+    return _AUTO_BACKEND["value"]
+
+
+def _capped_ks_numerators(values1, counts1, values2, counts2, cov, cfg,
+                          row_offset, tile_positions) -> np.ndarray | None:
+    """Capped-KS numerators for the rows exceeding the per-strand cap,
+    scattered into a full-length int32 array (uncapped rows stay 0 and are
+    never read by the finalizer).
+
+    ALWAYS computed on device (kernels.capped_ks_d): the subsample RNG is
+    jax.random keyed per absolute row, so host- and device-backend runs
+    draw bit-identical subsamples (ref myDetect.py:345-361 semantics).
+    Rows are gathered compactly so a lightly-capped genome ships only the
+    deep positions over the link.
+    """
+    import jax.numpy as jnp
+
+    idx = np.nonzero((counts1 > cov) | (counts2 > cov))[0]
+    if len(idx) == 0:
+        return None
+    out = np.zeros(len(counts1), dtype=np.int32)
+    q_idx = int(cfg.downsampling * cfg.downsampling_quantile)
+    for lo in range(0, len(idx), tile_positions):
+        rows = idx[lo: lo + tile_positions]
+        p_tile = _round_up(len(rows), 8)
+        g1 = values1[rows]
+        g2 = values2[rows]
+        n1 = np.zeros(p_tile, np.int32)
+        n2 = np.zeros(p_tile, np.int32)
+        n1[: len(rows)] = counts1[rows]
+        n2[: len(rows)] = counts2[rows]
+        v1 = np.zeros((p_tile, g1.shape[1]), g1.dtype)
+        v2 = np.zeros((p_tile, g2.shape[1]), g2.dtype)
+        v1[: len(rows)] = g1
+        v2[: len(rows)] = g2
+        row_index = np.zeros(p_tile, np.int32)
+        row_index[: len(rows)] = row_offset + rows
+        cap_dev = kernels.capped_ks_d(
+            jnp.asarray(v1), jnp.asarray(np.maximum(n1, 1)),
+            jnp.asarray(v2), jnp.asarray(np.maximum(n2, 1)),
+            jnp.asarray(row_index),
+            cov=cov, repeats=cfg.downsampling, quantile_idx=q_idx,
+            seed=cfg.downsampling_seed)
+        out[rows] = np.asarray(cap_dev)[: len(rows)]
+    return out
+
+
+def _run_battery_host(values1, counts1, values2, counts2, cov, cfg,
+                      want_mstd, row_offset, tile_positions):
+    """Native host battery (sort_core.cpp nm_battery_milli): bit-identical
+    exact integer components without shipping the pools over the link.
+    Returns a TestResult, or None when the native path cannot be used
+    (values fail the milli invariant / lib unavailable)."""
+    import ctypes
+    import os
+
+    from nanomod_tpu.native.build import load_native
+    lib = load_native("sort_core")
+    if lib is None or not hasattr(lib, "nm_battery_milli"):
+        return None
+    if values1.dtype == np.int16:
+        is_i16 = 1
+    elif values1.dtype == np.float32:
+        is_i16 = 0
+    else:
+        return None
+    if values2.dtype != values1.dtype:
+        return None
+    v1 = np.ascontiguousarray(values1)
+    v2 = np.ascontiguousarray(values2)
+    c1 = np.ascontiguousarray(counts1, dtype=np.int32)
+    c2 = np.ascontiguousarray(counts2, dtype=np.int32)
+    p = len(c1)
+    ks = np.empty(p, np.int32)
+    trs = np.empty(p, np.int32)
+    ties = np.empty(p, np.int32)
+    s1 = np.empty(p, np.int64)
+    sq1 = np.empty(p, np.int64)
+    s2 = np.empty(p, np.int64)
+    sq2 = np.empty(p, np.int64)
+    try:
+        nthreads = len(os.sched_getaffinity(0))
+    except AttributeError:
+        nthreads = os.cpu_count() or 1
+    vp = ctypes.c_void_p
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.nm_battery_milli(
+        vp(v1.ctypes.data), c1.ctypes.data_as(i32p),
+        ctypes.c_int64(v1.shape[1]),
+        vp(v2.ctypes.data), c2.ctypes.data_as(i32p),
+        ctypes.c_int64(v2.shape[1]),
+        ctypes.c_int64(p), ctypes.c_int(is_i16),
+        ks.ctypes.data_as(i32p), trs.ctypes.data_as(i32p),
+        ties.ctypes.data_as(i32p),
+        s1.ctypes.data_as(i64p), sq1.ctypes.data_as(i64p),
+        s2.ctypes.data_as(i64p), sq2.ctypes.data_as(i64p),
+        ctypes.c_int(nthreads))
+    if rc != 0:
+        return None
+    cap_np = None
+    if cov > 0:
+        cap_np = _capped_ks_numerators(v1, c1, v2, c2, cov, cfg,
+                                       row_offset, tile_positions)
+    cols = finalize_exact_components(ks, trs, ties, c1, c2,
+                                     s1, sq1, s2, sq2, cap_np, cov,
+                                     want_mstd)
+    return TestResult(stu=cols["stu"], pu=cols["pu"], stt=cols["stt"],
+                      pt=cols["pt"], stks=cols["stks"], pks=cols["pks"],
+                      mstd=cols.get("mstd"))
+
+
 def run_battery(
     values1: np.ndarray,
     counts1: np.ndarray,
@@ -193,6 +402,7 @@ def run_battery(
     tile_positions: int = 8192,
     want_mstd: bool = False,
     row_offset: int = 0,
+    backend: str | None = None,
 ) -> TestResult:
     """Run the full KS + MWU + Welch-t battery for P positions.
 
@@ -203,9 +413,25 @@ def run_battery(
     of a larger join (the multi-host position-sharded merge,
     parallel/shardmerge.py) draws the same subsamples the whole-join run
     draws for those rows.
+
+    `backend` picks where the exact integer components are computed:
+    "device" (tiled XLA kernels), "host" (native sort_core.cpp — auto-
+    selected when the probed host<->device link is too slow to ship the
+    pools, e.g. the tunneled bench topology), or None/"auto"
+    (NANOMOD_BATTERY_BACKEND env, else one cached probe).  Both backends
+    produce bit-identical statistics; capped-KS subsampling always runs on
+    device so the RNG stream is backend-invariant.
     """
     p_total = len(counts1)
     _check_i32_bounds(counts1, counts2)
+    if backend in (None, "auto"):
+        backend = battery_backend()
+    if backend == "host":
+        cov_h = int(cfg.coverages[0 if strand == "+" else 1])
+        res = _run_battery_host(values1, counts1, values2, counts2, cov_h,
+                                cfg, want_mstd, row_offset, tile_positions)
+        if res is not None:
+            return res
     out = {
         k: np.empty(p_total, dtype=np.float64)
         for k in ("stu", "pu", "stt", "pt", "stks", "pks")
