@@ -40,17 +40,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def bench_ours(values1, counts1, values2, counts2, positions, repeat=5):
     """Median-of-`repeat` battery throughput (the tunneled-TPU link is
     noisy; round-over-round deltas need a stable statistic).  Returns
-    (median sites/s, {p25, p75, min, max} sites/s)."""
-    from nanomod_tpu.stats.battery import run_battery
+    (median sites/s, dispersion dict, device/link split dict).
+
+    The wall metric runs the PRODUCTION path (backend auto-selected by the
+    link probe, stats/battery.battery_backend).  The split dict separates
+    chip capability from link weather: `device_sites_per_sec` times the
+    battery kernel on a DEVICE-RESIDENT tile (block_until_ready deltas, no
+    transfers), `h2d_MBps_steady` probes the steady-state host->device
+    link, and `link_host_overhead_s` is the wall time the device compute
+    does not explain — the diagnosability VERDICT r4 asked for.
+    """
+    import jax
+    import jax.numpy as jnp
+    from nanomod_tpu.stats import kernels
+    from nanomod_tpu.stats.battery import battery_backend, run_battery
     from nanomod_tpu.stats.combine import combine_neighbor_pvalues
     from nanomod_tpu.config import StatConfig
 
     cfg = StatConfig()
     gid = np.zeros(len(positions), dtype=np.int64)
+    tile = 16384
+    backend = battery_backend()
 
     def once():
         res = run_battery(values1, counts1, values2, counts2,
-                          cfg=cfg, tile_positions=16384)
+                          cfg=cfg, tile_positions=tile)
         stc, pc = combine_neighbor_pvalues(gid, positions, res.pks, cfg)
         order = np.lexsort((res.pu, res.pks, pc))
         return order[0]
@@ -64,7 +78,39 @@ def bench_ours(values1, counts1, values2, counts2, positions, repeat=5):
     rates.sort()
     disp = {"min": round(rates[0], 1), "max": round(rates[-1], 1),
             "n": repeat}
-    return float(np.median(rates)), disp
+    wall = float(np.median(rates))
+
+    # ---- device/link split (diagnostics, not the primary metric) ----
+    rng = np.random.default_rng(1)
+    v1 = (rng.normal(0, 1, (tile, 64)) * 1000).astype(np.int16)
+    v2 = (rng.normal(0, 1, (tile, 64)) * 1000).astype(np.int16)
+    cn = rng.integers(40, 64, tile).astype(np.int32)
+    d1, d2 = jnp.asarray(v1), jnp.asarray(v2)
+    dc = jnp.asarray(cn)
+    kernels.battery_components_packed_milli(d1, dc, d2, dc).block_until_ready()
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        kernels.battery_components_packed_milli(
+            d1, dc, d2, dc).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    dev_tile_s = float(np.median(ts))
+    n_tiles = (len(positions) + tile - 1) // tile
+    device_battery_s = dev_tile_s * n_tiles
+    buf = np.zeros(1 << 20, np.int16)
+    jax.block_until_ready(jax.device_put(buf))
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(buf))
+    h2d_mbps = buf.nbytes / (time.perf_counter() - t0) / 1e6
+    split = {
+        "backend": backend,
+        "device_battery_s": round(device_battery_s, 4),
+        "device_sites_per_sec": round(tile / dev_tile_s, 1),
+        "h2d_MBps_steady": round(h2d_mbps, 1),
+        "link_host_overhead_s": round(
+            len(positions) / wall - device_battery_s, 3),
+    }
+    return wall, disp, split
 
 
 def bench_reference_equiv(values1, counts1, values2, counts2, sample=300):
@@ -206,7 +252,8 @@ def main():
     values2 = np.round(rng.normal(0, 1, (p_total, c_max)), 3).astype(np.float32)
     positions = np.arange(p_total, dtype=np.int64)
 
-    ours, disp = bench_ours(values1, counts1, values2, counts2, positions)
+    ours, disp, split = bench_ours(values1, counts1, values2, counts2,
+                                   positions)
     ref = bench_reference_equiv(values1, counts1, values2, counts2)
 
     line = {
@@ -215,6 +262,7 @@ def main():
         "unit": "sites/s",
         "vs_baseline": round(ours / ref, 2),
         "dispersion": disp,
+        "split": split,
     }
     if not os.environ.get("BENCH_SKIP_ANNOTATE"):
         line["secondary"] = bench_annotate()

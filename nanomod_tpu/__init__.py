@@ -24,7 +24,10 @@ with both lax.scan (default) and Pallas implementations.
 __version__ = "0.2.0"
 
 
-def _tune_malloc():
+_MALLOC_TUNED = False
+
+
+def tune_malloc():
     """Keep large heap buffers out of per-allocation mmap/munmap.
 
     glibc services every allocation above M_MMAP_THRESHOLD (128 kB
@@ -36,11 +39,20 @@ def _tune_malloc():
     the host pipeline is allocation-bound, not compute-bound.  Raising
     the thresholds keeps freed blocks in the arena for reuse.  Trade-off:
     RSS stays at the high-water mark; peak memory is unchanged, which is
-    what actually matters.  Disable with NANOMOD_NO_MALLOC_TUNE=1."""
+    what actually matters.
+
+    Called lazily from the pipeline entry points (Annotate/detect/harness
+    drivers) rather than at package import, so a host application that
+    merely imports nanomod_tpu keeps its own malloc behavior (ADVICE r4).
+    Disable with NANOMOD_NO_MALLOC_TUNE=1."""
     import ctypes
     import os
     import sys
 
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED:
+        return
+    _MALLOC_TUNED = True
     if os.environ.get("NANOMOD_NO_MALLOC_TUNE") == "1":
         return
     if not sys.platform.startswith("linux"):
@@ -52,8 +64,5 @@ def _tune_malloc():
         libc.mallopt(M_TRIM_THRESHOLD, 2**31 - 1)
     except OSError:
         pass
-
-
-_tune_malloc()
 
 from nanomod_tpu.config import DetectConfig, AnnotateConfig, SimulateConfig  # noqa: F401

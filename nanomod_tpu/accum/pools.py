@@ -286,6 +286,13 @@ def pack_observations(chrom: str, strand: str, pos: np.ndarray,
     begin with, ref myDetect.py:122; see DIVERGENCES.md.)"""
     if nthreads <= 0:
         nthreads = os.cpu_count() or 1
+    cod = np.asarray(cod)
+    if len(cod) and (cod.min() < 0 or cod.max() > 4):
+        # codes outside the A/C/G/T/N range would silently diverge between
+        # the native majority vote (clamps into the N bucket) and the numpy
+        # bincount scatter (ADVICE r4); _BASE_TO_CODE never produces them,
+        # so malformed input is an error, not a vote.
+        raise ValueError("base codes must be in [0, 4] (A,C,G,T,N)")
     fast = _pack_native(chrom, strand, pos, val, cod, max_capacity, nthreads)
     if fast is not None:
         return fast

@@ -283,6 +283,8 @@ def run_detect(cfg: DetectConfig):
     one process report per-run numbers, not cumulative ones);
     cfg.metrics_file dumps them as JSON and cfg.profile_dir (or
     NANOMOD_PROFILE_DIR) wraps the run in a jax.profiler device trace."""
+    import nanomod_tpu
+    nanomod_tpu.tune_malloc()
     observer().reset()
     if cfg.merge_mode not in ("union", "sharded"):
         raise ValueError(f"bad merge_mode {cfg.merge_mode!r}")

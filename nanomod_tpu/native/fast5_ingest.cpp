@@ -585,11 +585,12 @@ bool inflate_buf(const u8* src, u64 srclen, std::vector<u8>& dst) {
         size_t got = 0;
         libdeflate_result r = libdeflate_zlib_decompress(
             ld.d, src, srclen, dst.data(), dst.size(), &got);
-        if (r == LIBDEFLATE_SUCCESS)
-            return got == dst.size();
-        if (r != LIBDEFLATE_BAD_DATA)
-            return false;
-        // BAD_DATA: fall through to zlib (tolerates some stream quirks)
+        if (r == LIBDEFLATE_SUCCESS && got == dst.size())
+            return true;
+        // Anything else — BAD_DATA, INSUFFICIENT_SPACE, or a legitimately
+        // SHORT output (the zlib path below accepts Z_STREAM_END with
+        // leftover avail_out, so a short chunk must not fail here; ADVICE
+        // r4) — falls through to zlib as the semantics-defining backend.
     }
 #endif
     z_stream zs;

@@ -849,6 +849,8 @@ def annotate_files(paths: List[str], cfg: AnnotateConfig,
     reference's error taxonomy + resegment-window histogram
     (ref :1485-1494).
     """
+    import nanomod_tpu
+    nanomod_tpu.tune_malloc()
     fasta = fasta or FastaIndex(cfg.ref_fasta)
     seed_index = seed_index or SeedIndex(fasta.seqs, k=cfg.seed_k)
     kmer_model = (load_kmer_model(cfg.kmer_model_file)
