@@ -83,6 +83,36 @@ class PositionPools:
         )
 
 
+def read_observations(strand: str, start: int, norm_means: np.ndarray,
+                      bases: np.ndarray,
+                      pos_filter: Tuple[int, int] | None = None):
+    """One read's flat observations: (positions int64, means f32,
+    base codes int8), using the genomic-coordinate mapping of
+    mReadSignalBase (ref myDetect.py:104-124): '+' strand events
+    i -> start + i; '-' strand events i -> start + n - 1 - i.
+    Shared by PoolBuilder.add_read and the harness's pre-flattened
+    mixing-trial path (harness/simulate.FlatReads)."""
+    n = len(norm_means)
+    if strand == "+":
+        pos = start + np.arange(n, dtype=np.int64)
+    else:
+        pos = start + n - 1 - np.arange(n, dtype=np.int64)
+    means = np.asarray(norm_means, dtype=np.float32)
+    bases = np.asarray(bases)
+    if bases.dtype.kind in "SU":
+        codes = _BASE_TO_CODE[
+            np.frombuffer(bases.astype("S1").tobytes(), dtype=np.uint8)
+        ]
+    else:
+        codes = np.asarray(bases, dtype=np.int8)
+    if pos_filter is not None:
+        lo, hi = pos_filter
+        keep = (pos >= lo) & (pos <= hi)
+        if not keep.all():
+            pos, means, codes = pos[keep], means[keep], codes[keep]
+    return pos, means, codes
+
+
 class PoolBuilder:
     """Streaming accumulator: feed per-read event vectors, finalize to pools.
 
@@ -99,23 +129,8 @@ class PoolBuilder:
                  norm_means: np.ndarray, bases: np.ndarray,
                  pos_filter: Tuple[int, int] | None = None):
         """bases: byte/char array (S1/U1) aligned with norm_means."""
-        n = len(norm_means)
-        if strand == "+":
-            pos = start + np.arange(n, dtype=np.int64)
-        else:
-            pos = start + n - 1 - np.arange(n, dtype=np.int64)
-        means = np.asarray(norm_means, dtype=np.float32)
-        if bases.dtype.kind in "SU":
-            codes = _BASE_TO_CODE[
-                np.frombuffer(bases.astype("S1").tobytes(), dtype=np.uint8)
-            ]
-        else:
-            codes = np.asarray(bases, dtype=np.int8)
-        if pos_filter is not None:
-            lo, hi = pos_filter
-            keep = (pos >= lo) & (pos <= hi)
-            if not keep.all():
-                pos, means, codes = pos[keep], means[keep], codes[keep]
+        pos, means, codes = read_observations(strand, start, norm_means,
+                                              bases, pos_filter)
         if len(pos):
             self._chunks[(chrom, strand)].append((pos, means, codes))
 
@@ -244,6 +259,17 @@ def _pack_native(chrom: str, strand: str, pos: np.ndarray, val, cod,
                     key.ctypes.data_as(P(ctypes.c_uint64)),
                     ctypes.c_int(nthreads))
     key.sort()                      # numpy SIMD sort: ~1.4 s at 105M keys
+    return _native_scan_fill(chrom, strand, key, pmin, lib, nthreads)
+
+
+def _native_scan_fill(chrom: str, strand: str, key: np.ndarray, pmin: int,
+                      lib, nthreads: int) -> PositionPools:
+    """Decode SORTED canonical keys into a PositionPools via the native
+    scan + fill passes (sort_core.cpp nm_pack_scan/nm_pack_fill)."""
+    import ctypes
+
+    n = len(key)
+    P = ctypes.POINTER
     cap_out = ctypes.c_int64(0)
     lib.nm_pack_scan.restype = ctypes.c_int64
     p_total = int(lib.nm_pack_scan(key.ctypes.data_as(P(ctypes.c_uint64)),
@@ -265,6 +291,73 @@ def _pack_native(chrom: str, strand: str, pos: np.ndarray, val, cod,
     return PositionPools(chrom=chrom, strand=strand, positions=uniq,
                          values=values, counts=counts,
                          base=_CODE_TO_BASE[base_code])
+
+
+def build_canonical_keys(pos: np.ndarray, val: np.ndarray, cod: np.ndarray,
+                         nthreads: int = 0):
+    """UNSORTED u64 canonical pool keys for flat observations:
+    (pos - pmin) << 35 | monotone(val) << 3 | cod.  Returns (keys, pmin),
+    or None when the position span exceeds the 29-bit key budget.
+
+    Sorting these keys ascending IS the canonical observation order of
+    pack_observations, so a caller that sorts once can rebuild pools for
+    arbitrary observation SUBSETS without re-sorting (the harness's
+    mixing trials: sorted-subset gather + k-way merge + pack_sorted_keys).
+    """
+    import ctypes
+
+    from nanomod_tpu.native.build import load_native
+    n = len(pos)
+    pos = np.ascontiguousarray(pos, np.int64)
+    pmin = int(pos.min()) if n else 0
+    if n and int(pos.max()) - pmin >= (1 << 29):
+        return None
+    val = np.ascontiguousarray(val, np.float32)
+    cod = np.ascontiguousarray(cod, np.int8)
+    lib = load_native("sort_core")
+    if lib is not None and hasattr(lib, "nm_pack_key") and n >= (1 << 14):
+        if nthreads <= 0:
+            nthreads = os.cpu_count() or 1
+        key = np.empty(n, np.uint64)
+        P = ctypes.POINTER
+        lib.nm_pack_key(pos.ctypes.data_as(P(ctypes.c_int64)),
+                        val.ctypes.data_as(P(ctypes.c_float)),
+                        cod.ctypes.data_as(P(ctypes.c_int8)),
+                        ctypes.c_int64(n), ctypes.c_int64(pmin),
+                        key.ctypes.data_as(P(ctypes.c_uint64)),
+                        ctypes.c_int(nthreads))
+        return key, pmin
+    key = (((pos - pmin).astype(np.uint64) << np.uint64(35))
+           | (_float32_monotone_u32(val).astype(np.uint64) << np.uint64(3))
+           | (cod.astype(np.uint64) & np.uint64(7)))
+    return key, pmin
+
+
+def decode_canonical_keys(key: np.ndarray, pmin: int):
+    """Inverse of build_canonical_keys: (pos int64, val f32, cod int8)."""
+    pos = (key >> np.uint64(35)).astype(np.int64) + pmin
+    val = _u32_monotone_float32(
+        ((key >> np.uint64(3)) & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    cod = (key & np.uint64(7)).astype(np.int8)
+    return pos, val, cod
+
+
+def pack_sorted_keys(chrom: str, strand: str, key: np.ndarray, pmin: int,
+                     nthreads: int = 0) -> PositionPools:
+    """PositionPools from already-SORTED canonical keys — the tail of the
+    fused pack with the sort skipped.  Byte-identical to
+    pack_observations of the decoded observations."""
+    from nanomod_tpu.native.build import load_native
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    lib = load_native("sort_core")
+    if lib is not None and hasattr(lib, "nm_pack_scan") and len(key):
+        return _native_scan_fill(chrom, strand,
+                                 np.ascontiguousarray(key, np.uint64),
+                                 pmin, lib, nthreads)
+    pos_s, val_s, cod_s = decode_canonical_keys(
+        np.asarray(key, np.uint64), pmin)
+    return _fill_from_sorted(chrom, strand, pos_s, val_s, cod_s, 0)
 
 
 def pack_observations(chrom: str, strand: str, pos: np.ndarray,
@@ -299,6 +392,14 @@ def pack_observations(chrom: str, strand: str, pos: np.ndarray,
     pos_s, val_s, cod_s = _canonical_sort(pos, np.asarray(val, np.float32),
                                           np.asarray(cod, np.int8),
                                           nthreads=nthreads)
+    return _fill_from_sorted(chrom, strand, pos_s, val_s, cod_s,
+                             max_capacity)
+
+
+def _fill_from_sorted(chrom: str, strand: str, pos_s, val_s, cod_s,
+                      max_capacity: int) -> PositionPools:
+    """Dense pool fill from canonically-SORTED flat observations (the
+    numpy tail of pack_observations)."""
     # pos_s is sorted: run boundaries come from one diff pass (np.unique
     # would sort AGAIN — at 100M+ observations that second radix sort is
     # tens of seconds)

@@ -22,7 +22,12 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from nanomod_tpu.accum.pools import PoolBuilder
+from collections import defaultdict
+
+from nanomod_tpu.accum.pools import (PoolBuilder, build_canonical_keys,
+                                     decode_canonical_keys,
+                                     pack_observations, pack_sorted_keys,
+                                     read_observations)
 from nanomod_tpu.config import DetectConfig, SimulateConfig, replace
 from nanomod_tpu.detect import detect_from_pools
 from nanomod_tpu.io.fast5 import iter_fast5_files, read_corrected_events
@@ -40,9 +45,181 @@ def load_group_reads(folder: str, recursive: bool = True):
     return out
 
 
+class FlatReads:
+    """One read dict flattened and canonical-SORTED once into
+    per-(chrom, strand) u64 pool-key arrays (VERDICT r4: the harness
+    rebuilt pools read-by-read through PoolBuilder.add_read for EVERY
+    mixing trial — hundreds of interpreted rebuilds per grid,
+    ref mySimulate.py:209-251 semantics).
+
+    Each observation's key (accum.pools.build_canonical_keys) encodes
+    (position, value, base code) so that ascending key order IS the
+    canonical pool order; the per-read identity rides alongside.  A trial
+    is then: boolean keep-mask over reads -> mask-gather of the sorted
+    keys (still sorted!) -> vectorized merge across read sets -> native
+    scan/fill (accum.pools.pack_sorted_keys) — no per-trial sort at all.
+    Byte-identical to the per-read rebuild for the same read selection
+    (tested in tests/test_harness.py)."""
+
+    def __init__(self, reads: Dict):
+        self.keys = list(reads)
+        self.n_reads = len(self.keys)
+        per = defaultdict(lambda: ([], [], [], []))
+        for ridx, k in enumerate(self.keys):
+            rd = reads[k]
+            pos, means, codes = read_observations(
+                rd.strand, rd.start, rd.norm_mean, rd.base)
+            if not len(pos):
+                continue
+            p, v, c, r = per[(rd.chrom, rd.strand)]
+            p.append(pos)
+            v.append(means)
+            c.append(codes)
+            r.append(np.full(len(pos), ridx, np.int32))
+        # groups: (chrom, strand) -> (sorted keys u64, read_id aligned,
+        #                             pmin) | raw (pos, val, cod, read_id)
+        # when the position span exceeds the 29-bit key budget
+        self.groups = {}
+        for g, arrs in per.items():
+            pos, val, cod, rid = (np.concatenate(x) for x in arrs)
+            built = build_canonical_keys(pos, val, cod)
+            if built is None:
+                self.groups[g] = ("raw", pos, val, cod, rid)
+                continue
+            key, pmin = built
+            order = np.argsort(key, kind="stable")
+            self.groups[g] = ("keys", key[order], rid[order], pmin)
+
+    @staticmethod
+    def of(reads) -> "FlatReads":
+        return reads if isinstance(reads, FlatReads) else FlatReads(reads)
+
+    def select(self, keep: np.ndarray) -> Dict:
+        """Gather the observations of the kept reads, per (chrom, strand):
+        ("keys", sorted_keys, pmin) or ("raw", pos, val, cod) entries for
+        keep [n_reads] bool."""
+        out = {}
+        keep_u8 = None
+        for g, entry in self.groups.items():
+            if entry[0] == "keys":
+                _, key, rid, pmin = entry
+                sub = None
+                if len(key) >= (1 << 14):
+                    if keep_u8 is None:
+                        keep_u8 = np.ascontiguousarray(keep, np.uint8)
+                    sub = _native_masked_gather(key, rid, keep_u8)
+                if sub is None:
+                    m = keep[rid]
+                    sub = key[m] if m.any() else None
+                if sub is not None and len(sub):
+                    out[g] = ("keys", sub, pmin)
+            else:
+                _, pos, val, cod, rid = entry
+                m = keep[rid]
+                if m.any():
+                    out[g] = ("raw", pos[m], val[m], cod[m])
+        return out
+
+    def select_all(self) -> Dict:
+        out = {}
+        for g, entry in self.groups.items():
+            if entry[0] == "keys":
+                _, key, rid, pmin = entry
+                out[g] = ("keys", key, pmin)
+            else:
+                _, pos, val, cod, rid = entry
+                out[g] = ("raw", pos, val, cod)
+        return out
+
+
+def _native_masked_gather(key: np.ndarray, rid: np.ndarray,
+                          keep_u8: np.ndarray):
+    """Order-preserving native gather of key[i] where keep_u8[rid[i]]
+    (sort_core.cpp nm_masked_gather_u64); None when unavailable."""
+    import ctypes
+
+    from nanomod_tpu.native.build import load_native
+    lib = load_native("sort_core")
+    if lib is None or not hasattr(lib, "nm_masked_gather_u64"):
+        return None
+    out = np.empty(len(key), np.uint64)
+    p64 = ctypes.POINTER(ctypes.c_uint64)
+    lib.nm_masked_gather_u64.restype = ctypes.c_int64
+    got = lib.nm_masked_gather_u64(
+        key.ctypes.data_as(p64),
+        rid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(len(key)),
+        keep_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(p64),
+        ctypes.c_int(os.cpu_count() or 1))
+    return out[:got]
+
+
+def _merge_sorted_u64(arrays: List[np.ndarray]) -> np.ndarray:
+    """K-way merge of sorted u64 arrays by repeated vectorized 2-way
+    merges (searchsorted insert positions + scatter)."""
+    out = arrays[0]
+    for k2 in arrays[1:]:
+        k1 = out
+        ins = np.searchsorted(k1, k2, side="right") \
+            + np.arange(len(k2), dtype=np.int64)
+        merged = np.empty(len(k1) + len(k2), np.uint64)
+        taken = np.zeros(len(merged), bool)
+        taken[ins] = True
+        merged[ins] = k2
+        merged[~taken] = k1
+        out = merged
+    return out
+
+
+def pools_from_selections(selections: Sequence[Dict]) -> Dict:
+    """Build PositionPools from one or more FlatReads.select results
+    (getGenomeEvents accumulation, ref mySimulate.py:124-139).
+
+    Key-form selections merge WITHOUT sorting (each is already in
+    canonical order; merging sorted runs is O(n)); raw-form groups fall
+    back to the full fused pack."""
+    merged = defaultdict(list)
+    for sel in selections:
+        for g, entry in sel.items():
+            merged[g].append(entry)
+    out = {}
+    for (chrom, strand), entries in sorted(merged.items()):
+        key_ok = all(e[0] == "keys" for e in entries)
+        if key_ok:
+            pmin = min(e[2] for e in entries)
+            # re-basing to the common pmin must keep every position field
+            # inside the 29-bit key budget
+            key_ok = all(
+                int(e[1][-1] >> np.uint64(35)) + (e[2] - pmin) < (1 << 29)
+                for e in entries if len(e[1]))
+        if key_ok:
+            keys = [e[1] if e[2] == pmin
+                    else e[1] + (np.uint64(e[2] - pmin) << np.uint64(35))
+                    for e in entries]
+            key = _merge_sorted_u64(keys)
+            out[(chrom, strand)] = pack_sorted_keys(chrom, strand, key, pmin)
+        else:
+            ps, vs, cs = [], [], []
+            for e in entries:
+                if e[0] == "keys":
+                    p, v, c = decode_canonical_keys(e[1], e[2])
+                else:
+                    p, v, c = e[1], e[2], e[3]
+                ps.append(p)
+                vs.append(v)
+                cs.append(c)
+            out[(chrom, strand)] = pack_observations(
+                chrom, strand, np.concatenate(ps), np.concatenate(vs),
+                np.concatenate(cs))
+    return out
+
+
 def _pools_from_reads(read_sets: Sequence[Dict]) -> Dict:
-    """Accumulate one group's pools from several read dicts
-    (getGenomeEvents, ref mySimulate.py:124-139)."""
+    """Per-read pool accumulation (getGenomeEvents, ref
+    mySimulate.py:124-139).  Kept as the parity oracle for the flattened
+    trial path (FlatReads + pools_from_selections); production trials use
+    the flat path."""
     builder = PoolBuilder()
     for reads in read_sets:
         for rd in reads.values():
@@ -79,16 +256,30 @@ def _detect_cfg(cfg: SimulateConfig) -> DetectConfig:
                         save_test=False)
 
 
-def mix_and_rank(case_reads: Dict, control_mix: Dict, control_test: Dict,
+def mix_and_rank(case_reads, control_mix, control_test,
                  percentage: float, cfg: SimulateConfig,
-                 rng: random.Random) -> int:
+                 rng: random.Random,
+                 control_test_pools: Optional[Dict] = None) -> int:
     """One Bernoulli mixing trial (mSimulate1 inner loop,
     ref mySimulate.py:209-251): group1 = case@p + control_mix@(1-p),
-    group2 = control_test."""
-    mcase = {k: v for k, v in case_reads.items() if rng.uniform(0, 1) <= percentage}
-    mcon = {k: v for k, v in control_mix.items() if rng.uniform(0, 1) < 1 - percentage}
-    pools1 = _pools_from_reads([mcase, mcon])
-    pools2 = _pools_from_reads([control_test])
+    group2 = control_test.  Accepts read dicts or FlatReads; the RNG
+    stream is one uniform per read in dict order, exactly like the
+    reference's per-read comprehension (ref :219-223).
+    `control_test_pools` lets sweep callers reuse the trial-invariant
+    group-2 pools."""
+    case = FlatReads.of(case_reads)
+    cmix = FlatReads.of(control_mix)
+    ctest = FlatReads.of(control_test)
+    keep_case = np.fromiter(
+        (rng.uniform(0, 1) <= percentage for _ in range(case.n_reads)),
+        bool, count=case.n_reads)
+    keep_mix = np.fromiter(
+        (rng.uniform(0, 1) < 1 - percentage for _ in range(cmix.n_reads)),
+        bool, count=cmix.n_reads)
+    pools1 = pools_from_selections(
+        [case.select(keep_case), cmix.select(keep_mix)])
+    pools2 = (control_test_pools if control_test_pools is not None
+              else pools_from_selections([ctest.select_all()]))
     table, order = detect_from_pools(pools1, pools2, _detect_cfg(cfg))
     return rank_of_target(table, order, cfg)
 
@@ -105,12 +296,18 @@ def run_simulate(cfg: SimulateConfig,
     control_mix = control_mix if control_mix is not None else load_group_reads(cfg.wrk_base1)
     control_test = control_test if control_test is not None else load_group_reads(
         cfg.wrk_base3 or cfg.wrk_base1)
+    case = FlatReads.of(case_reads)
+    cmix = FlatReads.of(control_mix)
+    ctest = FlatReads.of(control_test)
+    # group 2 never changes across trials: build its pools once
+    pools2 = pools_from_selections([ctest.select_all()])
 
     results: Dict[float, List[int]] = {}
     for perc in sorted(cfg.percentages):
         results[perc] = []
         for rt in range(cfg.random_times):
-            r = mix_and_rank(case_reads, control_mix, control_test, perc, cfg, rng)
+            r = mix_and_rank(case, cmix, ctest, perc, cfg, rng,
+                             control_test_pools=pools2)
             results[perc].append(r)
             if cfg.out_level <= 1:
                 print(f"Rank {perc} {rt} {r}")
@@ -128,8 +325,8 @@ def run_simulat2(cfg: SimulateConfig,
     np.random.seed(cfg.seed)
     case_reads = case_reads if case_reads is not None else load_group_reads(cfg.wrk_base2)
     control_reads = control_reads if control_reads is not None else load_group_reads(cfg.wrk_base1)
-    casekeys = list(case_reads)
-    contkeys = list(control_reads)
+    case = FlatReads.of(case_reads)
+    cont = FlatReads.of(control_reads)
 
     n_case = cfg.case_size
     n_con1 = int(n_case * (1 - cfg.percentage) / cfg.percentage)
@@ -137,15 +334,19 @@ def run_simulat2(cfg: SimulateConfig,
 
     ranks = []
     for rt in range(cfg.random_times):
-        ci = np.random.choice(len(casekeys), min(n_case, len(casekeys)),
+        ci = np.random.choice(case.n_reads, min(n_case, case.n_reads),
                               replace=False)
-        mcase = {casekeys[x]: case_reads[casekeys[x]] for x in ci}
-        need = min(n_con1 + n_con2, len(contkeys))
-        oi = np.random.choice(len(contkeys), need, replace=False)
-        mcon1 = {contkeys[x]: control_reads[contkeys[x]] for x in oi[:n_con1]}
-        mcon2 = {contkeys[x]: control_reads[contkeys[x]] for x in oi[n_con1:]}
-        pools1 = _pools_from_reads([mcase, mcon1])
-        pools2 = _pools_from_reads([mcon2])
+        keep_case = np.zeros(case.n_reads, bool)
+        keep_case[ci] = True
+        need = min(n_con1 + n_con2, cont.n_reads)
+        oi = np.random.choice(cont.n_reads, need, replace=False)
+        keep_con1 = np.zeros(cont.n_reads, bool)
+        keep_con1[oi[:n_con1]] = True
+        keep_con2 = np.zeros(cont.n_reads, bool)
+        keep_con2[oi[n_con1:]] = True
+        pools1 = pools_from_selections(
+            [case.select(keep_case), cont.select(keep_con1)])
+        pools2 = pools_from_selections([cont.select(keep_con2)])
         table, order = detect_from_pools(pools1, pools2, _detect_cfg(cfg))
         ranks.append(rank_of_target(table, order, cfg))
         if cfg.out_level <= 1:
@@ -165,8 +366,8 @@ def run_downsampling(cfg: SimulateConfig,
     np.random.seed(cfg.seed)
     case_reads = case_reads if case_reads is not None else load_group_reads(cfg.wrk_base1)
     control_reads = control_reads if control_reads is not None else load_group_reads(cfg.wrk_base2)
-    casekeys = list(case_reads)
-    contkeys = list(control_reads)
+    case = FlatReads.of(case_reads)
+    cont = FlatReads.of(control_reads)
 
     ranks = []
     rt = repeat_time = cur_repeat_time = 0
@@ -175,18 +376,20 @@ def run_downsampling(cfg: SimulateConfig,
         attempts += 1
         more = min(repeat_time, 15)
         n = int(cfg.case_size * (1 + more * 0.02))
-        if len(casekeys) > n:
-            ci = np.random.choice(len(casekeys), n, replace=False)
-            mcase = {casekeys[x]: case_reads[casekeys[x]] for x in ci}
+        if case.n_reads > n:
+            ci = np.random.choice(case.n_reads, n, replace=False)
+            keep_case = np.zeros(case.n_reads, bool)
+            keep_case[ci] = True
         else:
-            mcase = case_reads
-        if len(contkeys) > n:
-            oi = np.random.choice(len(contkeys), n, replace=False)
-            mcon = {contkeys[x]: control_reads[contkeys[x]] for x in oi}
+            keep_case = np.ones(case.n_reads, bool)
+        if cont.n_reads > n:
+            oi = np.random.choice(cont.n_reads, n, replace=False)
+            keep_con = np.zeros(cont.n_reads, bool)
+            keep_con[oi] = True
         else:
-            mcon = control_reads
-        pools1 = _pools_from_reads([mcase])
-        pools2 = _pools_from_reads([mcon])
+            keep_con = np.ones(cont.n_reads, bool)
+        pools1 = pools_from_selections([case.select(keep_case)])
+        pools2 = pools_from_selections([cont.select(keep_con)])
 
         # coverage-at-target acceptance (ref :94-113)
         lacking = 0
@@ -303,9 +506,9 @@ def run_simulate_grid(cfg: SimulateConfig,
             wrk_base2=os.path.join(cfg.wrk_base2, str(mj)),
             wrk_base3=os.path.join(cfg.wrk_base1, str(mk)),
         )
-        case_reads = load_group_reads(sub_common.wrk_base2)
-        control_mix = load_group_reads(sub_common.wrk_base1)
-        control_test = load_group_reads(sub_common.wrk_base3)
+        case_reads = FlatReads(load_group_reads(sub_common.wrk_base2))
+        control_mix = FlatReads(load_group_reads(sub_common.wrk_base1))
+        control_test = FlatReads(load_group_reads(sub_common.wrk_base3))
         for perc in sorted(cfg.percentages):
             sub = replace(sub_common, percentages=(perc,),
                           file_id=grid_file_id(cfg, mi, mj, mk, perc))
@@ -343,10 +546,10 @@ def run_simulat2_sweep(cfg: SimulateConfig, case_sizes=None,
     exactly like the reference's post-qsub loop."""
     from nanomod_tpu.parallel.dist import shard_list
 
-    case_reads = load_group_reads(cfg.wrk_base2)
-    control_reads = load_group_reads(cfg.wrk_base1)
+    case_reads = FlatReads(load_group_reads(cfg.wrk_base2))
+    control_reads = FlatReads(load_group_reads(cfg.wrk_base1))
     if case_sizes is None:
-        total_control = len(control_reads)
+        total_control = control_reads.n_reads
         max_case = int(total_control * cfg.percentage / (2 - cfg.percentage))
         case_sizes = list(range(start, max(max_case, start + 1), step))
     results = {}
@@ -369,8 +572,8 @@ def run_downsampling_sweep(cfg: SimulateConfig, case_sizes=None,
     from nanomod_tpu.parallel.dist import shard_list
 
     case_sizes = case_sizes or [60, 80, 100, 200, 400, 1000, 2000, 3000]
-    case_reads = load_group_reads(cfg.wrk_base1)
-    control_reads = load_group_reads(cfg.wrk_base2)
+    case_reads = FlatReads(load_group_reads(cfg.wrk_base1))
+    control_reads = FlatReads(load_group_reads(cfg.wrk_base2))
     results = {}
     for cs in shard_list(list(case_sizes), process_id, process_count):
         sub = replace(cfg, case_size=int(cs), file_id=f"{cfg.file_id}_{cs}")

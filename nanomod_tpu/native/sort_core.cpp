@@ -227,6 +227,45 @@ void nm_radix_sort_u64_hi(u64* keys, i64 n, u64* scratch, int nthreads,
     }
 }
 
+// Masked gather for the harness's mixing trials (harness/simulate.py
+// FlatReads.select): out[j++] = key[i] for every i with keep[rid[i]].
+// keep is a per-READ byte mask (tiny, cache-resident); key/rid are the
+// group's sorted observation arrays.  Sortedness is preserved because the
+// gather is order-preserving.  Returns the number gathered.
+i64 nm_masked_gather_u64(const u64* key, const int32_t* rid, i64 n,
+                         const uint8_t* keep, u64* out, int nthreads) {
+    int nt = std::max(1, std::min(nthreads, 32));
+    if (n < (1 << 16)) nt = 1;
+    i64 per = (n + nt - 1) / nt;
+    std::vector<i64> cnt(nt, 0);
+    {
+        std::vector<std::thread> ts;
+        auto worker = [&](int t) {
+            i64 lo = t * per, hi = std::min(n, (t + 1) * per), c = 0;
+            for (i64 i = lo; i < hi; i++) c += keep[rid[i]] != 0;
+            cnt[t] = c;
+        };
+        for (int t = 1; t < nt; t++) ts.emplace_back(worker, t);
+        worker(0);
+        for (auto& th : ts) th.join();
+    }
+    std::vector<i64> off(nt + 1, 0);
+    for (int t = 0; t < nt; t++) off[t + 1] = off[t] + cnt[t];
+    {
+        std::vector<std::thread> ts;
+        auto worker = [&](int t) {
+            i64 lo = t * per, hi = std::min(n, (t + 1) * per);
+            i64 j = off[t];
+            for (i64 i = lo; i < hi; i++)
+                if (keep[rid[i]]) out[j++] = key[i];
+        };
+        for (int t = 1; t < nt; t++) ts.emplace_back(worker, t);
+        worker(0);
+        for (auto& th : ts) th.join();
+    }
+    return off[nt];
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -258,6 +258,13 @@ def _probe_backend() -> str:
     import time
 
     import jax
+    if jax.default_backend() == "cpu":
+        # The pairwise-count kernel is O(N^2) per row — dense vector work a
+        # TPU VPU eats, but a poor fit for scalar CPU cores — and XLA-CPU
+        # recompiles per joined-position-count bucket (the harness's mixing
+        # trials each produce a fresh P).  The native battery computes the
+        # same exact components at O(N log N) with zero compiles.
+        return "host"
     try:
         # force the runtime into its post-fetch steady mode, then time 2 MB
         np.asarray(jax.device_put(np.zeros(8, np.int32)))

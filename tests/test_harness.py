@@ -259,3 +259,46 @@ def test_plot_top_sites_density_and_violin(tmp_path):
                     out_folder=str(tmp_path / f"out_{ptype}"))
         p = plot_top_sites(table, sites, pools1, pools2, c, max_sites=2)
         assert os.path.getsize(p) > 2000, ptype
+
+
+def test_flat_reads_pools_match_per_read_rebuild(sim_data):
+    """The flattened trial path (FlatReads + pools_from_selections) must
+    produce BYTE-identical pools to the per-read PoolBuilder rebuild for
+    the same read selection (VERDICT r4: the harness's per-trial per-read
+    rebuild was the last interpreted hot loop)."""
+    import random
+
+    from nanomod_tpu.harness.simulate import (FlatReads, _pools_from_reads,
+                                              pools_from_selections)
+
+    root, chrom, case_dir, control_dir, reads, other = sim_data
+    flat = FlatReads(reads)
+    oflat = FlatReads(other)
+
+    # full-group pools
+    a = pools_from_selections([flat.select_all()])
+    b = _pools_from_reads([reads])
+    assert set(a) == set(b)
+    for g in a:
+        np.testing.assert_array_equal(a[g].positions, b[g].positions)
+        np.testing.assert_array_equal(a[g].counts, b[g].counts)
+        np.testing.assert_array_equal(a[g].values, b[g].values)
+        np.testing.assert_array_equal(a[g].base, b[g].base)
+
+    # Bernoulli-selected multi-set pools, same RNG stream as mix_and_rank
+    rng = random.Random(7)
+    keys = flat.keys
+    keep = np.fromiter((rng.uniform(0, 1) <= 0.6 for _ in keys), bool,
+                       count=len(keys))
+    okeep = np.fromiter((rng.uniform(0, 1) < 0.4 for _ in oflat.keys), bool,
+                        count=oflat.n_reads)
+    sub = {k: reads[k] for k, kp in zip(keys, keep) if kp}
+    osub = {k: other[k] for k, kp in zip(oflat.keys, okeep) if kp}
+    a = pools_from_selections([flat.select(keep), oflat.select(okeep)])
+    b = _pools_from_reads([sub, osub])
+    assert set(a) == set(b)
+    for g in a:
+        np.testing.assert_array_equal(a[g].positions, b[g].positions)
+        np.testing.assert_array_equal(a[g].counts, b[g].counts)
+        np.testing.assert_array_equal(a[g].values, b[g].values)
+        np.testing.assert_array_equal(a[g].base, b[g].base)
