@@ -190,6 +190,7 @@ def cmd_annotate(a):
         recursive=bool(a.recursive), resume=bool(a.resume),
         align=a.alignStr,
         metrics_file=a.metricsFile or None,
+        n_devices=a.n_devices,
     )
     annotate_folder(cfg)
 
@@ -281,6 +282,10 @@ def build_parser():
                    help="skip FAST5s already carrying NanomoCorrected_000")
     p.add_argument("--metricsFile", default="",
                    help="write per-stage timing/throughput JSON here")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="round-robin banded-DP sub-batches over n local "
+                        "devices (0/1 = single device); corrected output "
+                        "is byte-identical for any value")
     p.set_defaults(func=cmd_annotate)
     return parser
 

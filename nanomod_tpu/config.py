@@ -188,6 +188,14 @@ class AnnotateConfig:
     fast5_compression: str = "gzip"
     # write per-stage timing/throughput counters as JSON (new)
     metrics_file: Optional[str] = None
+    # >1 round-robins the banded-DP sub-batches (and their device
+    # traceback walks) across that many local devices, with the in-flight
+    # window widened so every chip has work — the TPU analog of the
+    # reference's 12-process worker pool
+    # (ref myRefBaseSignalAnnotation.py:1452-1483).  0/1 = single device.
+    # Corrected FAST5 output is byte-identical for any value (the DP is
+    # deterministic and the write order is the dispatch order).
+    n_devices: int = 0
 
 
 @dataclass(frozen=True)

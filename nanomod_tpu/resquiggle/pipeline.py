@@ -121,7 +121,8 @@ class DPBatch:
 
 
 def dispatch_dp(reads: List[PreparedRead], fasta: FastaIndex,
-                cfg: AnnotateConfig, pad_bsz: int = 0) -> Optional[DPBatch]:
+                cfg: AnnotateConfig, pad_bsz: int = 0,
+                device=None) -> Optional[DPBatch]:
     """Build + dispatch the banded DP for a length-bucketed batch.
 
     Returns immediately (JAX dispatch is async) so the device computes
@@ -129,6 +130,12 @@ def dispatch_dp(reads: List[PreparedRead], fasta: FastaIndex,
     nibble-packed on device when the native walker is available — halves
     the D2H transfer, which dominates on tunneled chips.  pad_bsz pads the
     batch dimension to a fixed size so sub-batches share one jit shape.
+
+    ``device`` commits the batch to a specific jax device: every jitted
+    stage (DP, device walk, 2-bit pack, output pack) follows its inputs,
+    so the whole dispatch chain runs there — the multi-chip fan-out just
+    round-robins sub-batches over jax.local_devices()
+    (process_prepared, cfg.n_devices).
     """
     if not reads:
         return None
@@ -157,16 +164,22 @@ def dispatch_dp(reads: List[PreparedRead], fasta: FastaIndex,
         if hi > lo:
             ref_codes[i, lo - ws: hi - ws] = encode(genome[lo:hi]).astype(np.uint8)
 
+    read_codes_d, ref_codes_d, lens_d = read_codes, ref_codes, lens
+    if device is not None:
+        import jax
+        read_codes_d = jax.device_put(read_codes, device)
+        ref_codes_d = jax.device_put(ref_codes, device)
+        lens_d = jax.device_put(lens, device)
     if use_pallas:
         from nanomod_tpu.resquiggle.banded_pallas import banded_sw_pallas
         tb, best, bi, bk = banded_sw_pallas(
-            read_codes, ref_codes, lens,
+            read_codes_d, ref_codes_d, lens_d,
             match=cfg.match_score, mismatch=cfg.mismatch_score,
             go=cfg.gap_open, ge=cfg.gap_extend,
         )
     else:
         tb, best, bi, bk = banded_sw(
-            read_codes, ref_codes, lens,
+            read_codes_d, ref_codes_d, lens_d,
             match=cfg.match_score, mismatch=cfg.mismatch_score,
             go=cfg.gap_open, ge=cfg.gap_extend,
         )
@@ -586,12 +599,31 @@ def process_prepared(prepared, cfg: AnnotateConfig,
 
     dp_parts = dp_parts_gen()
 
+    # Multi-chip fan-out (the TPU analog of the reference's 12-process
+    # pool, ref myRefBaseSignalAnnotation.py:1452-1483): round-robin DP
+    # sub-batches over the first cfg.n_devices local devices.  Each device
+    # gets its own jit executable cache; results are byte-identical to
+    # single-device because the DP is deterministic and batches are
+    # finalized in dispatch order.
+    devices = None
+    if cfg.n_devices and cfg.n_devices > 1:
+        import jax
+        local = jax.local_devices()
+        devices = local[: min(cfg.n_devices, len(local))]
+        if len(devices) <= 1:
+            devices = None
+    rr = [0]
+
     def dispatch_next():
         """Next in-flight DPBatch, or None at END OF STREAM (empty parts
         are skipped here so a None return is unambiguous)."""
         for part, pad in dp_parts:
+            dev = None
+            if devices is not None:
+                dev = devices[rr[0] % len(devices)]
+                rr[0] += 1
             with stage("align_dp", unit="reads") as s:
-                dpb = dispatch_dp(part, fasta, cfg, pad_bsz=pad)
+                dpb = dispatch_dp(part, fasta, cfg, pad_bsz=pad, device=dev)
                 s.add(len(part))
             if dpb is not None:
                 return dpb
@@ -704,9 +736,10 @@ def process_prepared(prepared, cfg: AnnotateConfig,
             return
         # dp_inflight = in-flight DP sub-batches: dispatch k+1/k+2 while
         # finishing k (the window bounds device memory; 2 is enough to
-        # hide the fetch latency behind the next DP)
+        # hide the fetch latency behind the next DP on one chip, and the
+        # multi-chip fan-out needs 2 per device to keep every chip busy)
         from collections import deque
-        dp_inflight = 2
+        dp_inflight = 2 * (len(devices) if devices is not None else 1)
         window = deque()
         for _ in range(dp_inflight):
             dpb = dispatch_next()
