@@ -44,36 +44,41 @@ def rss_gb():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
-def gen_group(folder, genome_arr, levels, rng, planted=None):
+def gen_group(folder, genome_arr, levels, rng, planted=None,
+              n_reads=None, read_len=None, mod_delta=None):
     """Write one group of corrected FAST5s with vectorized signal synthesis
     (the tests/fixtures.py per-base hash generator is too slow at 100M
     events)."""
+    n_reads = N_READS if n_reads is None else n_reads
+    rl = READ_LEN if read_len is None else read_len
+    delta = MOD_DELTA if mod_delta is None else mod_delta
+    glen = len(genome_arr)
     os.makedirs(folder, exist_ok=True)
     comp = np.frombuffer(b"TGCA", np.uint8)[
         np.searchsorted(np.frombuffer(b"ACGT", np.uint8), genome_arr)]
-    for i in range(N_READS):
+    for i in range(n_reads):
         # random strand (NOT i%2: round-robin file sharding would then give
         # each of 2 hosts a single strand — exactly the strand-concatenated
         # coordinate ranges — making the multi-host routing measurement
         # degenerate)
         strand = "+-"[int(rng.integers(2))]
-        start = int(rng.integers(0, GENOME_LEN - READ_LEN + 1))
-        gpos = np.arange(start, start + READ_LEN)
+        start = int(rng.integers(0, glen - rl + 1))
+        gpos = np.arange(start, start + rl)
         # level track keyed by STRAND (a physical per-(pos,strand) k-mer
         # level), not by read index: with random strands, levels[i % 2]
         # would mix two ~N(0,1)-apart tracks inside every (pos,strand)
         # pool, drowning the planted shift in bimodal within-pool spread
         # (measured: 19/20 planted sites in top-50 -> 0/20)
-        means = levels[strand == "-"][gpos] + rng.normal(0.0, 0.3, READ_LEN)
+        means = levels[strand == "-"][gpos] + rng.normal(0.0, 0.3, rl)
         if planted is not None:
             # bulky-adduct profile: full shift at the site, half at ±1
             # (what the ±k neighbor combination exists to capture,
             # ref myDetect.py:373-414)
             for tp in planted:
                 for off, scale in ((-1, 0.5), (0, 1.0), (1, 0.5)):
-                    if start <= tp + off < start + READ_LEN:
-                        means[tp + off - start] += MOD_DELTA * scale
-        ev = np.zeros(READ_LEN, CORRECTED_EVENTS_DTYPE)
+                    if start <= tp + off < start + rl:
+                        means[tp + off - start] += delta * scale
+        ev = np.zeros(rl, CORRECTED_EVENTS_DTYPE)
         if strand == "-":
             ev["norm_mean"] = np.round(means[::-1], 3)
             ev["base"] = comp[gpos[::-1]].view("S1")
@@ -81,7 +86,7 @@ def gen_group(folder, genome_arr, levels, rng, planted=None):
             ev["norm_mean"] = np.round(means, 3)
             ev["base"] = genome_arr[gpos].view("S1")
         ev["norm_stdev"] = 0.1
-        ev["start"] = np.arange(READ_LEN, dtype=np.uint32) * 8
+        ev["start"] = np.arange(rl, dtype=np.uint32) * 8
         ev["length"] = 8
         sub = os.path.join(folder, str(i // 4000))
         os.makedirs(sub, exist_ok=True)
@@ -91,7 +96,7 @@ def gen_group(folder, genome_arr, levels, rng, planted=None):
         write_corrected_events(p, CHROM, start, strand, ev,
                                read_alignment=ev["base"],
                                genome_alignment=ev["base"],
-                               num_matches=READ_LEN)
+                               num_matches=rl)
 
 
 def main():
