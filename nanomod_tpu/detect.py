@@ -156,9 +156,10 @@ def detect_from_pools(
                 )
             else:
                 res = run_battery(
-                    g1.values[i1], g1.counts[i1], g2.values[i2], g2.counts[i2],
+                    g1.values, g1.counts[i1], g2.values, g2.counts[i2],
                     strand=key[1], cfg=cfg.stats, tile_positions=cfg.tile_positions,
                     want_mstd=cfg.mstd, row_offset=off,
+                    idx1=i1, idx2=i2,
                 )
             keys.append(key)
             parts.append((key, common, g2.base[i2], g1.counts[i1], g2.counts[i2], res))

@@ -320,18 +320,22 @@ inline void battery_row(const int16_t* a, int n1, const int16_t* b, int n2,
 
 extern "C" {
 
-// values* are the pool arrays [p, c*] (row stride = c*): f32 when is_i16
-// is 0, int16 milli values when is_i16 is 1.  counts* are the true per-row
-// sizes (clamped to >= 1 with a zero value for empty rows, matching the
-// device tiler's zero pad + count clamp).  On the f32 path every valid
-// value must satisfy the system-wide 3-decimal milli invariant (|v*1000| <
-// 32767 and within 0.01 of an integer after rounding, ref
-// myRefBaseSignalAnnotation.py:259); on failure the function returns 1
-// WITHOUT filling outputs (caller falls back to the device f32 path).
-// Returns 0 on success.
+// values* are the pool arrays [p_rows, c*] (row stride = c*): f32 when
+// is_i16 is 0, int16 milli values when is_i16 is 1.  idx* (nullable)
+// gather row r of the battery from pool row idx*[r] — the two-group join
+// (detect.join_pools) passes its index arrays directly so no [P, C]
+// fancy-index copies are materialized on the host.  counts* are the true
+// per-BATTERY-row sizes (clamped to >= 1 with a zero value for empty
+// rows, matching the device tiler's zero pad + count clamp).  On the f32
+// path every valid value must satisfy the system-wide 3-decimal milli
+// invariant (|v*1000| < 32767 and within 0.01 of an integer after
+// rounding, ref myRefBaseSignalAnnotation.py:259); on failure the
+// function returns 1 WITHOUT filling outputs (caller falls back to the
+// device f32 path).  Returns 0 on success.
 int nm_battery_milli(const void* values1v, const int32_t* counts1, i64 c1,
                      const void* values2v, const int32_t* counts2, i64 c2,
                      i64 p, int is_i16,
+                     const i64* idx1, const i64* idx2,
                      int32_t* ks_num, int32_t* trs, int32_t* ties,
                      i64* s1, i64* sq1, i64* s2, i64* sq2,
                      int nthreads) {
@@ -352,10 +356,12 @@ int nm_battery_milli(const void* values1v, const int32_t* counts1, i64 c1,
             int n2 = counts2[r] < 1 ? 1 : counts2[r];
             if (n1 > c1) n1 = (int)c1;
             if (n2 > c2) n2 = (int)c2;
+            i64 row1 = idx1 ? idx1[r] : r;
+            i64 row2 = idx2 ? idx2[r] : r;
             i64 ls1 = 0, lq1 = 0, ls2 = 0, lq2 = 0;
             if (is_i16) {
-                const int16_t* v1 = ivalues1 + r * c1;
-                const int16_t* v2 = ivalues2 + r * c2;
+                const int16_t* v1 = ivalues1 + row1 * c1;
+                const int16_t* v2 = ivalues2 + row2 * c2;
                 for (int i = 0; i < n1; i++) {
                     int16_t m = counts1[r] < 1 ? (int16_t)0 : v1[i];
                     buf1[i] = m;
@@ -367,8 +373,8 @@ int nm_battery_milli(const void* values1v, const int32_t* counts1, i64 c1,
                     ls2 += m; lq2 += (i64)m * m;
                 }
             } else {
-                const float* v1 = values1 + r * c1;
-                const float* v2 = values2 + r * c2;
+                const float* v1 = values1 + row1 * c1;
+                const float* v2 = values2 + row2 * c2;
                 for (int i = 0; i < n1; i++) {
                     float v = counts1[r] < 1 ? 0.0f : v1[i];
                     float sc = v * 1000.0f;

@@ -241,15 +241,16 @@ _AUTO_BACKEND: dict = {"value": None}
 
 def _probe_backend() -> str:
     """One-time auto choice between the device battery and the native host
-    battery, by measuring the STEADY-STATE host->device link.
+    battery, by RACING them on a real synthetic tile.
 
-    The axon-tunneled bench topology degrades permanently to ~30-65 MB/s
-    after the first device->host fetch (any real run fetches results, so
-    that IS the steady state; tools/bench_split.py measures it), while a
-    healthy co-located PCIe link stays at GB/s.  Shipping 200k-position
-    pools costs ~50 MB of H2D: below ~500 MB/s the native battery
-    (sort_core.cpp nm_battery_milli, bit-identical components) beats the
-    link; above it the device kernel wins and keeps the chip hot.
+    The axon-tunneled bench topology degrades to ~30-65 MB/s after the
+    first device->host fetch (any real run fetches results, so that IS the
+    steady state; tools/bench_split.py measures it) — but single-transfer
+    timing probes proved flaky (a momentarily-healthy link picked the
+    device path, then the 9M-position workload ran at degraded speed).
+    Racing one end-to-end tile — encode, H2D, kernel, D2H for the device;
+    the native merge-walk for the host — measures exactly the quantity
+    that matters and self-calibrates on any topology.
     """
     from nanomod_tpu.native.build import load_native
     lib = load_native("sort_core")
@@ -265,17 +266,47 @@ def _probe_backend() -> str:
         # trials each produce a fresh P).  The native battery computes the
         # same exact components at O(N log N) with zero compiles.
         return "host"
+
+    p, c = 16384, 32
+    rng = np.random.default_rng(0)
+    v1 = (rng.normal(0, 1, (p, c)) * 1000).astype(np.int16)
+    v2 = (rng.normal(0, 1, (p, c)) * 1000).astype(np.int16)
+    cn = rng.integers(c - 8, c, p).astype(np.int32)
+
+    def host_once():
+        return _run_battery_host(v1, cn, v2, cn, 0, StatConfig(), False, 0,
+                                 16384) is not None
+
     try:
-        # force the runtime into its post-fetch steady mode, then time 2 MB
-        np.asarray(jax.device_put(np.zeros(8, np.int32)))
-        buf = np.zeros(1 << 20, np.int16)
-        jax.block_until_ready(jax.device_put(buf))     # warm path/alloc
+        from nanomod_tpu.stats import kernels
+        if not host_once():
+            return "device"
         t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(buf))
-        dt = time.perf_counter() - t0
+        host_once()
+        host_s = time.perf_counter() - t0
+
+        # enter the post-fetch steady state, then time the device tile
+        # end-to-end (H2D + kernel + D2H), median of 3
+        np.asarray(jax.device_put(np.zeros(8, np.int32)))
+        import jax.numpy as jnp
+
+        def dev_once():
+            d = kernels.battery_components_packed_milli(
+                jnp.asarray(v1), jnp.asarray(cn),
+                jnp.asarray(v2), jnp.asarray(cn))
+            np.asarray(d)
+        dev_once()                                    # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dev_once()
+            ts.append(time.perf_counter() - t0)
+        dev_s = float(np.median(ts))
     except Exception:
         return "host"
-    return "device" if dt < 0.004 else "host"
+    # the device number excludes the shared host f64 finalize; require a
+    # clear device win before committing to shipping pools over the link
+    return "device" if dev_s < 0.7 * host_s else "host"
 
 
 def battery_backend() -> str:
@@ -291,7 +322,8 @@ def battery_backend() -> str:
 
 
 def _capped_ks_numerators(values1, counts1, values2, counts2, cov, cfg,
-                          row_offset, tile_positions) -> np.ndarray | None:
+                          row_offset, tile_positions,
+                          idx1=None, idx2=None) -> np.ndarray | None:
     """Capped-KS numerators for the rows exceeding the per-strand cap,
     scattered into a full-length int32 array (uncapped rows stay 0 and are
     never read by the finalizer).
@@ -312,8 +344,8 @@ def _capped_ks_numerators(values1, counts1, values2, counts2, cov, cfg,
     for lo in range(0, len(idx), tile_positions):
         rows = idx[lo: lo + tile_positions]
         p_tile = _round_up(len(rows), 8)
-        g1 = values1[rows]
-        g2 = values2[rows]
+        g1 = values1[rows if idx1 is None else idx1[rows]]
+        g2 = values2[rows if idx2 is None else idx2[rows]]
         n1 = np.zeros(p_tile, np.int32)
         n2 = np.zeros(p_tile, np.int32)
         n1[: len(rows)] = counts1[rows]
@@ -335,11 +367,15 @@ def _capped_ks_numerators(values1, counts1, values2, counts2, cov, cfg,
 
 
 def _run_battery_host(values1, counts1, values2, counts2, cov, cfg,
-                      want_mstd, row_offset, tile_positions):
+                      want_mstd, row_offset, tile_positions,
+                      idx1=None, idx2=None):
     """Native host battery (sort_core.cpp nm_battery_milli): bit-identical
     exact integer components without shipping the pools over the link.
-    Returns a TestResult, or None when the native path cannot be used
-    (values fail the milli invariant / lib unavailable)."""
+    idx1/idx2 gather battery row r from pool row idx*[r] inside the native
+    call, so join callers (detect.join_pools) avoid materializing [P, C]
+    fancy-index copies.  Returns a TestResult, or None when the native
+    path cannot be used (values fail the milli invariant / lib
+    unavailable)."""
     import ctypes
     import os
 
@@ -374,12 +410,21 @@ def _run_battery_host(values1, counts1, values2, counts2, cov, cfg,
     vp = ctypes.c_void_p
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
+
+    def idx_arg(idx):
+        if idx is None:
+            return ctypes.cast(None, i64p)
+        return np.ascontiguousarray(idx, np.int64).ctypes.data_as(i64p)
+
+    ix1 = None if idx1 is None else np.ascontiguousarray(idx1, np.int64)
+    ix2 = None if idx2 is None else np.ascontiguousarray(idx2, np.int64)
     rc = lib.nm_battery_milli(
         vp(v1.ctypes.data), c1.ctypes.data_as(i32p),
         ctypes.c_int64(v1.shape[1]),
         vp(v2.ctypes.data), c2.ctypes.data_as(i32p),
         ctypes.c_int64(v2.shape[1]),
         ctypes.c_int64(p), ctypes.c_int(is_i16),
+        idx_arg(ix1), idx_arg(ix2),
         ks.ctypes.data_as(i32p), trs.ctypes.data_as(i32p),
         ties.ctypes.data_as(i32p),
         s1.ctypes.data_as(i64p), sq1.ctypes.data_as(i64p),
@@ -390,13 +435,38 @@ def _run_battery_host(values1, counts1, values2, counts2, cov, cfg,
     cap_np = None
     if cov > 0:
         cap_np = _capped_ks_numerators(v1, c1, v2, c2, cov, cfg,
-                                       row_offset, tile_positions)
-    cols = finalize_exact_components(ks, trs, ties, c1, c2,
-                                     s1, sq1, s2, sq2, cap_np, cov,
-                                     want_mstd)
-    return TestResult(stu=cols["stu"], pu=cols["pu"], stt=cols["stt"],
-                      pt=cols["pt"], stks=cols["stks"], pks=cols["pks"],
-                      mstd=cols.get("mstd"))
+                                       row_offset, tile_positions,
+                                       idx1=ix1, idx2=ix2)
+
+    out = {k: np.empty(p, np.float64)
+           for k in ("stu", "pu", "stt", "pt", "stks", "pks")}
+    mstd = np.empty((p, 4), np.float64) if want_mstd else None
+
+    def fin(lo, hi):
+        sl = slice(lo, hi)
+        cols = finalize_exact_components(
+            ks[sl], trs[sl], ties[sl], c1[sl], c2[sl],
+            s1[sl], sq1[sl], s2[sl], sq2[sl],
+            None if cap_np is None else cap_np[sl], cov, want_mstd)
+        for k in out:
+            out[k][sl] = cols[k]
+        if want_mstd:
+            mstd[sl] = cols["mstd"]
+
+    # rows are independent and the f64 p-transforms (scipy special ufuncs)
+    # release the GIL: chunk across threads for large joins.  Bitwise
+    # identical to the single pass (pure per-row math).
+    if p > 200_000 and nthreads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        bounds = np.linspace(0, p, min(nthreads, 8) * 2 + 1, dtype=np.int64)
+        with ThreadPoolExecutor(min(nthreads, 8)) as ex:
+            list(ex.map(lambda i: fin(int(bounds[i]), int(bounds[i + 1])),
+                        range(len(bounds) - 1)))
+    else:
+        fin(0, p)
+    return TestResult(stu=out["stu"], pu=out["pu"], stt=out["stt"],
+                      pt=out["pt"], stks=out["stks"], pks=out["pks"],
+                      mstd=mstd)
 
 
 def run_battery(
@@ -410,6 +480,8 @@ def run_battery(
     want_mstd: bool = False,
     row_offset: int = 0,
     backend: str | None = None,
+    idx1: np.ndarray | None = None,
+    idx2: np.ndarray | None = None,
 ) -> TestResult:
     """Run the full KS + MWU + Welch-t battery for P positions.
 
@@ -428,6 +500,11 @@ def run_battery(
     (NANOMOD_BATTERY_BACKEND env, else one cached probe).  Both backends
     produce bit-identical statistics; capped-KS subsampling always runs on
     device so the RNG stream is backend-invariant.
+
+    `idx1`/`idx2` gather battery row r from pool row idx*[r] — join
+    callers (detect.join_pools) pass their index arrays so the host
+    backend reads the pools in place; the device path materializes the
+    gathered copies up front (its tiler slices row-contiguously).
     """
     p_total = len(counts1)
     _check_i32_bounds(counts1, counts2)
@@ -436,9 +513,14 @@ def run_battery(
     if backend == "host":
         cov_h = int(cfg.coverages[0 if strand == "+" else 1])
         res = _run_battery_host(values1, counts1, values2, counts2, cov_h,
-                                cfg, want_mstd, row_offset, tile_positions)
+                                cfg, want_mstd, row_offset, tile_positions,
+                                idx1=idx1, idx2=idx2)
         if res is not None:
             return res
+    if idx1 is not None:
+        values1 = values1[idx1]
+    if idx2 is not None:
+        values2 = values2[idx2]
     out = {
         k: np.empty(p_total, dtype=np.float64)
         for k in ("stu", "pu", "stt", "pt", "stks", "pks")

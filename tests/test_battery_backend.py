@@ -115,3 +115,23 @@ def test_backend_env_override(monkeypatch):
     assert bat.battery_backend() == "host"
     monkeypatch.setenv("NANOMOD_BATTERY_BACKEND", "device")
     assert bat.battery_backend() == "device"
+
+
+def test_host_idx_gather_matches_materialized():
+    """idx1/idx2 in-place gathers (the join path) must equal the
+    materialized fancy-index copies on both backends, including capped
+    rows routed through the composed index."""
+    v1, c1, v2, c2 = _pools(16, p=2000)
+    rng = np.random.default_rng(17)
+    i1 = rng.permutation(2000)[:1200]
+    i2 = rng.permutation(2000)[:1200]
+    cfg = StatConfig(coverages=(12, 12))
+    rd = run_battery(v1[i1], c1[i1], v2[i2], c2[i2], cfg=cfg,
+                     backend="device")
+    rh = run_battery(v1, c1[i1], v2, c2[i2], cfg=cfg, backend="host",
+                     idx1=i1, idx2=i2)
+    _assert_equal(rd, rh)
+    # device path with idx materializes internally - same result
+    rdi = run_battery(v1, c1[i1], v2, c2[i2], cfg=cfg, backend="device",
+                      idx1=i1, idx2=i2)
+    _assert_equal(rd, rdi)

@@ -101,6 +101,12 @@ def gen_group(folder, genome_arr, levels, rng, planted=None,
 
 def main():
     import jax
+
+    import nanomod_tpu
+    # tune BEFORE generation: the dataset-writing phase churns GB-sized
+    # buffers, and a warm arena is what keeps the detect-phase pool build
+    # at full speed (cold first-touch pages stream at ~0.2 GB/s here)
+    nanomod_tpu.tune_malloc()
     jax.config.update("jax_compilation_cache_dir", os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache"))
