@@ -304,9 +304,15 @@ def _probe_backend() -> str:
         dev_s = float(np.median(ts))
     except Exception:
         return "host"
-    # the device number excludes the shared host f64 finalize; require a
-    # clear device win before committing to shipping pools over the link
-    return "device" if dev_s < 0.7 * host_s else "host"
+    _AUTO_BACKEND["race"] = {"host_s": round(host_s, 4),
+                             "dev_s": round(dev_s, 4)}
+    # The risk is asymmetric: picking host on a healthy link costs ~2x on
+    # the battery stage, picking device on a degraded tunnel costs ~20x
+    # (measured 144s vs 7.4s at 9M positions when a momentarily-fast race
+    # window fooled the probe).  A genuinely healthy co-located link wins
+    # the race by >10x (1-3 ms vs ~26 ms), so requiring a 4x device win
+    # keeps both topologies right with margin.
+    return "device" if dev_s < 0.25 * host_s else "host"
 
 
 def battery_backend() -> str:
