@@ -302,3 +302,59 @@ def test_flat_reads_pools_match_per_read_rebuild(sim_data):
         np.testing.assert_array_equal(a[g].counts, b[g].counts)
         np.testing.assert_array_equal(a[g].values, b[g].values)
         np.testing.assert_array_equal(a[g].base, b[g].base)
+
+
+def test_flat_reads_wide_span_raw_fallback():
+    """Position spans beyond the 29-bit key budget fall back to raw
+    (pos, val, cod) selection entries; pools must still match the
+    per-read rebuild."""
+    import types
+
+    from nanomod_tpu.harness.simulate import (FlatReads, _pools_from_reads,
+                                              pools_from_selections)
+
+    def mk(start, seed):
+        rng = np.random.default_rng(seed)
+        L = 50
+        return types.SimpleNamespace(
+            chrom="big", strand="+", start=start,
+            norm_mean=np.round(rng.normal(0, 1, L), 3).astype(np.float32),
+            base=np.frombuffer(b"A" * L, dtype="S1").copy())
+
+    reads = {f"r{i}": mk(start, i)
+             for i, start in enumerate([0, 10_000, (1 << 29) + 5000,
+                                        (1 << 30)])}
+    flat = FlatReads(reads)
+    assert any(e[0] == "raw" for e in flat.groups.values())
+    a = pools_from_selections([flat.select_all()])
+    b = _pools_from_reads([reads])
+    for g in b:
+        np.testing.assert_array_equal(a[g].positions, b[g].positions)
+        np.testing.assert_array_equal(a[g].values, b[g].values)
+        np.testing.assert_array_equal(a[g].counts, b[g].counts)
+
+
+def test_canonical_key_codec_roundtrip():
+    from nanomod_tpu.accum.pools import (build_canonical_keys,
+                                         decode_canonical_keys,
+                                         pack_observations,
+                                         pack_sorted_keys)
+
+    rng = np.random.default_rng(4)
+    n = 5000
+    pos = rng.integers(100, 90_000, n).astype(np.int64)
+    val = np.round(rng.normal(0, 1, n), 3).astype(np.float32)
+    cod = rng.integers(0, 5, n).astype(np.int8)
+    key, pmin = build_canonical_keys(pos, val, cod)
+    p2, v2, c2 = decode_canonical_keys(key, pmin)
+    np.testing.assert_array_equal(p2, pos)
+    np.testing.assert_array_equal(v2, val)
+    np.testing.assert_array_equal(c2, cod)
+    # sorted keys decode into the same pools as the full pack
+    key.sort()
+    a = pack_sorted_keys("c", "+", key, pmin)
+    b = pack_observations("c", "+", pos, val, cod)
+    np.testing.assert_array_equal(a.positions, b.positions)
+    np.testing.assert_array_equal(a.values, b.values)
+    np.testing.assert_array_equal(a.counts, b.counts)
+    np.testing.assert_array_equal(a.base, b.base)
