@@ -48,42 +48,71 @@ def neighbor_matrix(group_ids: np.ndarray, positions: np.ndarray,
     return out
 
 
+def _stencil_sum(vals, group_ids, positions, k, weights, fill):
+    """Σ_j w_j · shifted(vals, j) over the ±k stencil, with `fill`
+    substituted where the neighbor at offset j is invalid (pos_check,
+    ref myDetect.py:366-371).
+
+    Accumulates offsets in ascending column order — the same order
+    np.sum takes over the neighbor-matrix axis (numpy reduces a 2k+1-wide
+    contiguous axis sequentially below its pairwise threshold), so the
+    result is BITWISE identical to combining neighbor_matrix, at 1/(2k+1)
+    of the special-function work: the expensive transform (norm.isf /
+    log) runs once per position, not once per matrix cell.
+    """
+    p_total = len(vals)
+    out = None
+    for col, off in enumerate(range(-k, k + 1)):
+        w = 1.0 if weights is None else float(weights[col])
+        if off == 0:
+            contrib = w * vals
+        else:
+            contrib = np.full(p_total, w * fill)
+            src_lo = max(0, off)
+            src_hi = p_total + min(0, off)
+            if src_hi > src_lo:
+                dst = slice(src_lo - off, src_hi - off)
+                src = slice(src_lo, src_hi)
+                valid = (group_ids[src] == group_ids[dst]) & (
+                    positions[src] - positions[dst] == off
+                )
+                contrib[dst] = np.where(valid, w * vals[src], w * fill)
+        out = contrib if out is None else out + contrib
+    return out
+
+
 def combine_neighbor_pvalues(group_ids, positions, pks, cfg: StatConfig):
     """Combined (statistic, p-value) per position, or None when the
     configuration produces no combination column.
 
     Mirrors combin_pvalues/get_combin_pvalue semantics
     (ref myDetect.py:373-414): with neighborPvalues == 0 the KS column is
-    reused verbatim; with testMethod == 'ks' the caller should not call this.
+    reused verbatim; with testMethod == 'ks' the caller should not call
+    this.  Bitwise identical to combining the explicit neighbor_matrix
+    (pinned by tests/test_stats.py and the golden byte-parity suite).
     """
     if cfg.test_method == "ks":
         return None
     if cfg.neighbor_pvalues == 0:
         # ref myDetect.py:413: the ks tuple itself is appended
         return None  # caller duplicates the KS column
-    mat = neighbor_matrix(np.asarray(group_ids), np.asarray(positions),
-                          np.asarray(pks, dtype=np.float64), cfg.neighbor_pvalues)
+    k = cfg.neighbor_pvalues
+    gid = np.asarray(group_ids)
+    pos = np.asarray(positions)
+    pks = np.asarray(pks, dtype=np.float64)
     if cfg.test_method == "fisher":
-        combine = lambda m: special.fisher_combine(m, axis=1)
+        # stat = -2 Σ ln p; an invalid neighbor contributes ln(1) = 0
+        with np.errstate(divide="ignore"):
+            logp = np.log(pks)
+        stat = -2.0 * _stencil_sum(logp, gid, pos, k, None, 0.0)
+        p = special.chi2_sf(stat, 2 * (2 * k + 1))
     else:
-        w = special.stouffer_weights(cfg.neighbor_pvalues, cfg.weights_dif)
-        combine = lambda m: special.stouffer_combine(m, w, axis=1)
-
-    n = len(mat)
-    if n > 1_000_000:
-        # rows are independent and the scipy transforms (ndtri/chi2.sf)
-        # release the GIL: chunk across threads.  Bitwise identical to the
-        # single-pass result (pure per-row math).
-        import os
-        from concurrent.futures import ThreadPoolExecutor
-        nthreads = min(8, os.cpu_count() or 1)
-        bounds = np.linspace(0, n, nthreads + 1, dtype=np.int64)
-        with ThreadPoolExecutor(nthreads) as ex:
-            parts = list(ex.map(
-                lambda i: combine(mat[bounds[i]:bounds[i + 1]]),
-                range(nthreads)))
-        stat = np.concatenate([p[0] for p in parts])
-        p = np.concatenate([p[1] for p in parts])
-    else:
-        stat, p = combine(mat)
+        # z = norm.isf(p); an invalid neighbor contributes
+        # isf(1) = -inf -> combined p = 1.0, exactly the reference's
+        # missing-neighbor semantics (myDetect.py:383-389)
+        w = special.stouffer_weights(k, cfg.weights_dif)
+        z = special.norm_isf(pks)
+        stat = _stencil_sum(z, gid, pos, k, w, -np.inf) / np.linalg.norm(w)
+        stat = np.where(np.isnan(stat), -np.inf, stat)
+        p = special.norm_sf(stat)
     return special.clamp_stat(stat), special.clamp_p(p)

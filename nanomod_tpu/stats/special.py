@@ -72,6 +72,42 @@ def welch_pvalue(t, df):
     return p
 
 
+def _threaded_elementwise(fn, x, min_n=1_000_000):
+    """Apply an elementwise scipy transform in row chunks across threads
+    (the special-function ufuncs release the GIL).  Bitwise identical to
+    one call — pure per-element math."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n < min_n:
+        return fn(x)
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    nthreads = min(8, os.cpu_count() or 1)
+    if nthreads <= 1:
+        return fn(x)
+    out = np.empty(n, np.float64)
+    bounds = np.linspace(0, n, nthreads * 2 + 1, dtype=np.int64)
+
+    def run(i):
+        out[bounds[i]:bounds[i + 1]] = fn(x[bounds[i]:bounds[i + 1]])
+    with ThreadPoolExecutor(nthreads) as ex:
+        list(ex.map(run, range(len(bounds) - 1)))
+    return out
+
+
+def norm_isf(p):
+    """scipy norm.isf (the Stouffer z transform); threaded at scale."""
+    return _threaded_elementwise(_dist.norm.isf, p)
+
+
+def norm_sf(z):
+    return _threaded_elementwise(_dist.norm.sf, z)
+
+
+def chi2_sf(stat, df):
+    return _dist.chi2.sf(np.asarray(stat, dtype=np.float64), df)
+
+
 def fisher_combine(pvals, axis=-1):
     """scipy combine_pvalues(method='fisher') (ref myDetect.py:392-393).
 

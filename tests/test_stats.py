@@ -244,3 +244,30 @@ def test_neighbor_matrix_gap_handling():
     np.testing.assert_allclose(mat[1], [0.1, 0.2, 1.0])
     # row 2 (pos 13): left neighbor missing
     np.testing.assert_allclose(mat[2], [1.0, 0.3, 0.4])
+
+
+def test_stencil_combine_matches_neighbor_matrix():
+    """The transform-once stencil must be BITWISE equal to combining the
+    explicit neighbor matrix, for both methods, across gaps and group
+    boundaries."""
+    from nanomod_tpu.config import StatConfig
+    from nanomod_tpu.stats import special
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    gid = np.sort(rng.integers(0, 3, n)).astype(np.int64)
+    pos = np.concatenate([np.cumsum(rng.integers(1, 3, (gid == g).sum()))
+                          for g in range(3)]).astype(np.int64)
+    pks = 10.0 ** rng.uniform(-200, 0, n)
+    for method in ("stouffer", "fisher"):
+        cfg = StatConfig(test_method=method)
+        stat, p = combine_neighbor_pvalues(gid, pos, pks, cfg)
+        mat = neighbor_matrix(gid, pos, pks, cfg.neighbor_pvalues)
+        if method == "fisher":
+            st2, p2 = special.fisher_combine(mat, axis=1)
+        else:
+            w = special.stouffer_weights(cfg.neighbor_pvalues,
+                                         cfg.weights_dif)
+            st2, p2 = special.stouffer_combine(mat, w, axis=1)
+        np.testing.assert_array_equal(stat, special.clamp_stat(st2))
+        np.testing.assert_array_equal(p, special.clamp_p(p2))
